@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import GOLDEN, edges_df
+from trianglecount_spark.operators.canonicalize import canonicalize_edges
+from trianglecount_spark.operators.components import (
+    connected_components,
+    connected_components_minlabel,
+)
+from trianglecount_spark.operators.lpa import label_propagation
+from trianglecount_spark.operators.pagerank import pagerank
+
+
+def numpy_pagerank(pairs, alpha=0.85, tol=1e-12, max_iter=500):
+    """Dense power-iteration oracle on the canonical undirected graph."""
+    und = {(a, b) for a, b in pairs if a != b}
+    und |= {(b, a) for a, b in und}
+    verts = sorted({v for e in und for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in und:
+        A[idx[b], idx[a]] = 1.0
+    outdeg = A.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = np.where(outdeg > 0, r / outdeg, 0.0)
+        dangling = r[outdeg == 0].sum()
+        new_r = (1 - alpha) / n + alpha * (A @ contrib + dangling / n)
+        if np.abs(new_r - r).sum() < tol:
+            r = new_r
+            break
+        r = new_r
+    return {v: r[idx[v]] for v in verts}
+
+
+def numpy_components(pairs):
+    und = {(a, b) for a, b in pairs if a != b}
+    verts = sorted({v for e in und for v in e})
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in verts}
+
+
+def numpy_lpa(pairs, max_iter=20):
+    und = {(a, b) for a, b in pairs if a != b}
+    und |= {(b, a) for a, b in und}
+    verts = sorted({v for e in und for v in e})
+    nbrs = {v: sorted({b for a, b in und if a == v}) for v in verts}
+    labels = {v: v for v in verts}
+    for _ in range(max_iter):
+        new = {}
+        for v in verts:
+            if not nbrs[v]:
+                new[v] = labels[v]
+                continue
+            counts: dict[int, int] = {}
+            for u in nbrs[v]:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("name", ["tri", "bowtie", "two_tris", "hub", "path6", "k4"])
+def test_pagerank_allclose_numpy(spark, name):
+    raw, _ = GOLDEN[name]
+    sym = canonicalize_edges(edges_df(spark, raw))
+    ranks, log = pagerank(sym, tol=1e-9, max_iter=200)
+    got = {r.v: r.rank for r in ranks.collect()}
+    want = numpy_pagerank(raw)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (name, v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("name", ["two_tris", "bowtie", "path6", "hub", "tri_pendant"])
+def test_components_both_strategies(spark, name):
+    raw, _ = GOLDEN[name]
+    e = edges_df(spark, raw).where("src != dst")
+    want = numpy_components(raw)
+    got_star, _ = connected_components(e)
+    got_ml, _ = connected_components_minlabel(e)
+    assert {r.v: r.comp for r in got_star.collect()} == want
+    assert {r.v: r.comp for r in got_ml.collect()} == want
+
+
+def test_components_two_tris_exact(spark):
+    e = edges_df(spark, GOLDEN["two_tris"][0])
+    got, _ = connected_components(e)
+    comp = {r.v: r.comp for r in got.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+@pytest.mark.parametrize("name", ["two_tris", "path6", "k4"])
+def test_lpa_matches_numpy(spark, name):
+    raw, _ = GOLDEN[name]
+    e = edges_df(spark, raw)
+    got, _ = label_propagation(e, max_iter=20)
+    want = numpy_lpa(raw, max_iter=20)
+    assert {r.v: r.label for r in got.collect()} == want
+
+
+def test_pagerank_resume(spark, tmp_path):
+    raw, _ = GOLDEN["bowtie"]
+    sym = canonicalize_edges(edges_df(spark, raw))
+    state_dir = str(tmp_path / "pr_state")
+    # run 4 rounds, checkpointing every 2
+    r1, log1 = pagerank(sym, tol=0.0, max_iter=4, checkpoint_every=2, state_dir=state_dir)
+    # resume and run to convergence; must agree with a fresh full run
+    r2, log2 = pagerank(
+        sym, tol=1e-9, max_iter=200, checkpoint_every=2, state_dir=state_dir, resume=True
+    )
+    fresh, _ = pagerank(sym, tol=1e-9, max_iter=200)
+    a = {r.v: r.rank for r in r2.collect()}
+    b = {r.v: r.rank for r in fresh.collect()}
+    assert all(abs(a[v] - b[v]) < 1e-9 for v in a)
+    assert log2.rounds[0]["round"] > 0  # actually resumed

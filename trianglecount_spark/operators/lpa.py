@@ -1,0 +1,72 @@
+"""Synchronous label propagation ([EXT], BASELINE.json north_rule).
+
+Deterministic LPA: every vertex starts with label = its own id; each
+round every vertex adopts the most frequent label among its neighbors,
+ties broken by the SMALLEST label; stops when no label changes or after
+``max_iter`` rounds. Synchronous + deterministic tie-break ⇒ identical
+output on every run and any partitioning (the property the correctness
+gate needs; asynchronous LPA is run-order dependent).
+
+Physical shape per round: one shuffle join (labels onto edge dsts), one
+two-key hash aggregate (v, label → freq), one window-free top-1 via
+max_by on the (freq, -label) pair — no row_number window, so no skew
+pile-up on a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trianglecount_spark.operators.iterative import IterationLog, iterate
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+    state_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, IterationLog]:
+    """LPA over an undirected edge list. Returns (``v, label``, log)."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    all_v = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    init = all_v.select("v", F.col("v").alias("label"))
+
+    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+        freq = (
+            sym.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"), F.col("label"))
+            .agg(F.count("*").alias("freq"))
+        )
+        # top-1 by (freq desc, label asc) without a window: max_by over a
+        # sortable struct — (freq, -label) maximum = smallest label on ties.
+        best = freq.groupBy("v").agg(
+            F.max_by("label", F.struct(F.col("freq"), (-F.col("label")).alias("nl"))).alias(
+                "new_label"
+            )
+        )
+        new_labels = labels.join(best, "v", "left").select(
+            "v", F.coalesce("new_label", "label").alias("label")
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "prev"), "v")
+            .where(F.col("label") != F.col("prev"))
+            .count()
+        )
+        return new_labels, float(changed)
+
+    return iterate(
+        init, step, max_iter=max_iter, tol=0.0,
+        checkpoint_every=checkpoint_every, state_dir=state_dir, resume=resume,
+    )
