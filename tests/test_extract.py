@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trianglecount_spark.functions.extract import edges_from_pages, extract_links, extract_text
+from trianglecount_spark.operators import (
+    canonicalize_edges,
+    orient,
+    triangle_count_join,
+    triangle_count_kernel,
+)
+from trianglecount_spark.sources.pages import make_pages
+
+
+def test_text_extraction_byte_identical(spark):
+    # the per-row invariant from BASELINE.json input_hint: extracted text
+    # must be byte-identical to the golden text column for every url
+    pages = make_pages(spark, n_pages=64, n_sites=8, seed=42)
+    got = extract_text(pages)
+    mismatches = (
+        pages.select("url", F.col("text").alias("golden"))
+        .join(got, "url")
+        .where(F.col("golden") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+    assert got.count() == 64
+
+
+def test_pages_deterministic_and_partition_independent(spark):
+    a = make_pages(spark, n_pages=32, n_sites=4, seed=42, n_partitions=1)
+    b = make_pages(spark, n_pages=32, n_sites=4, seed=42, n_partitions=8)
+    ra = sorted((r.url, bytes(r.html), r.text, r.lang) for r in a.collect())
+    rb = sorted((r.url, bytes(r.html), r.text, r.lang) for r in b.collect())
+    assert ra == rb
+
+
+def test_link_extraction_rules(spark):
+    pages = make_pages(spark, n_pages=8, n_sites=2, seed=7)
+    links = extract_links(pages)
+    rows = links.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # all resolved links are absolute and well-formed
+        assert r.dst_url.startswith("https://site"), r
+    # the planted self-link survives mining (dropped later by canonicalize)
+    self_links = [r for r in rows if r.src_url == r.dst_url]
+    assert len(self_links) >= 8  # one per page
+
+
+def test_pages_to_triangles_end_to_end(spark):
+    pages = make_pages(spark, n_pages=96, n_sites=8, seed=42)
+    edges, vertices = edges_from_pages(pages)
+    o = orient(canonicalize_edges(edges))
+    t_join = triangle_count_join(o)
+    t_kernel = triangle_count_kernel(o, n_parts=4, salt_threshold=8, n_salts=4)
+    assert t_join == t_kernel
+    assert t_join > 0  # power-law graph with hubs closes triangles
+    # dictionary is deterministic: rerunning yields identical vids
+    edges2, vertices2 = edges_from_pages(pages)
+    d1 = {r.url: r.vid for r in vertices.collect()}
+    d2 = {r.url: r.vid for r in vertices2.collect()}
+    assert d1 == d2

@@ -1,0 +1,154 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from trianglecount_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingles,
+    simhash64,
+    simhash_neardup_pairs,
+)
+from trianglecount_spark.operators.knn import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    ivf_topk,
+)
+from trianglecount_spark.operators.multimodal import (
+    decode_image,
+    fake_image_features,
+    frame_sample_plan,
+    make_fake_media,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different text with other words entirely here now"),
+    (4, "spark engines shuffle data across many partitions quickly"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = {r.keeper: r.n_docs for r in exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 2 identical, keeper = min id
+    assert groups[1] == 1
+
+
+def test_jaccard_near_dup(docs):
+    sh = shingles(docs)
+    pairs = {(r.a, r.b): r.jac for r in jaccard_pairs(sh, threshold=0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    sh = shingles(docs)
+    sig = minhash_signatures(sh, n_hashes=8)
+    cand = {(r.a, r.b) for r in lsh_candidates(sig, n_hashes=8, rows_per_band=2).collect()}
+    assert (0, 2) in cand  # identical docs always collide in every band
+    # unrelated docs should not collide
+    assert (3, 4) not in cand
+
+
+def test_simhash_near_dup(docs):
+    sim = simhash64(docs)
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[0] == vals[2]  # identical text → identical simhash
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_neardup_pairs(sim, max_hamming=12, n_bands=4).collect()
+    }
+    assert pairs.get((0, 2)) == 0
+
+
+def _numpy_topk(vecs, qids, k):
+    M = np.stack([v for _, v in vecs])
+    ids = [i for i, _ in vecs]
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    out = {}
+    for q in qids:
+        qi = ids.index(q)
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-sims[qi, j], ids[j]),
+        )
+        out[q] = [ids[j] for j in order[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.Generator(np.random.Philox(key=7))
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    # plant: vec 21 nearly equal to vec 0
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    near = base[0] + 0.01 * rng.standard_normal(8).astype(np.float32)
+    rows.append((21, near.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    return df, rows
+
+
+def test_bruteforce_topk_matches_numpy(emb):
+    df, rows = emb
+    vecs = [(i, np.asarray(v, dtype=np.float64)) for i, v in rows]
+    want = _numpy_topk(vecs, [0, 5, 21], k=3)
+    got_df = cosine_topk_bruteforce(df.where(F.col("vec_id").isin([0, 5, 21])), df, k=3)
+    got = {}
+    for r in got_df.orderBy("q", F.col("sim").desc()).collect():
+        got.setdefault(r.q, []).append(r.nbr)
+    assert got == want
+    assert got[0][0] == 21  # planted near-dup is the top neighbor
+
+
+def test_lsh_topk_finds_planted_neighbor(emb):
+    df, _ = emb
+    got = cosine_topk_lsh(
+        df.where(F.col("vec_id") == 0), df, k=3, n_planes=4, n_tables=8, seed=3
+    ).collect()
+    nbrs = [r.nbr for r in got]
+    assert 21 in nbrs  # near-identical vector lands in the same buckets
+
+
+def test_ivf_topk_finds_planted_neighbor(emb):
+    df, _ = emb
+    got = ivf_topk(df.where(F.col("vec_id") == 0), df, k=3, n_centroids=4, n_probe=2).collect()
+    assert 21 in [r.nbr for r in got]
+
+
+def test_multimodal_stub_and_fake_path(spark):
+    media = make_fake_media(spark, n=12)
+    assert media.count() == 12
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+    feats = fake_image_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        v = np.asarray(r.features)
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic
+    again = {r.media_id: r.features for r in fake_image_features(media, dim=16).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_frame_sample_plan(spark):
+    media = make_fake_media(spark, n=9)
+    plan = frame_sample_plan(media, every_n=10)
+    rows = plan.collect()
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    # video rows only (kind == 'video' for media_id % 3 == 2)
+    assert {r.media_id % 3 for r in rows} == {2}

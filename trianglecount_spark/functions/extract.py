@@ -1,0 +1,115 @@
+"""HTML → text / href extraction as vectorized pandas transforms.
+
+The reference pipeline starts from edge-list files; our engine's native
+input is the pages table (BASELINE.json input_hint), so the first
+operator is mining ``edges(src_url, dst_url)`` out of ``html:binary``
+and extracting the canonical ``text`` — both as Arrow-batched
+``mapInPandas`` transforms ("no per-row Python" invariant: the regex
+work runs on whole pandas Series per batch, one Python↔JVM crossing per
+Arrow batch, never per row).
+
+Extraction rules (co-designed with sources/pages.py so the ``text``
+column is reproduced byte-identically — the per-row invariant vs the
+reference):
+- text     = <title> content + "\\n" + first <p> content
+- links    = every double-quoted href: absolute ``http(s)://...`` kept
+             as-is; root-relative ``/path`` resolved against the page's
+             scheme+host; anything else (empty, single-quoted, missing)
+             skipped
+- self-links survive extraction (the graph canonicalizer drops them —
+  that separation mirrors the reference, where parsing and cleaning are
+  distinct stages: without_part_preprocess.py:126-177 vs :193-208)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_PARA_RE = re.compile(r"<p>(.*?)</p>", re.S)
+_HREF_RE = re.compile(r'href="([^"]*)"')
+_ORIGIN_RE = re.compile(r"^(https?://[^/]+)")
+
+
+def _decode(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: b.decode("utf-8", errors="replace"))
+
+
+def extract_text_pdf(html: pd.Series) -> pd.Series:
+    s = _decode(html)
+    title = s.str.extract(_TITLE_RE, expand=False).fillna("")
+    para = s.str.extract(_PARA_RE, expand=False).fillna("")
+    return title + "\n" + para
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """pages → (url, text) with the byte-identical extraction rule."""
+
+    def run(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {"url": pdf["url"], "text": extract_text_pdf(pdf["html"])}
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema="url string, text string")
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """pages → edges_raw(src_url, dst_url); duplicates/self-links kept
+    (canonicalization is a separate operator)."""
+
+    def run(it):
+        for pdf in it:
+            s = _decode(pdf["html"])
+            # findall per page, vectorized via extractall on the batch
+            hrefs = s.str.extractall(_HREF_RE)
+            if hrefs.empty:
+                yield pd.DataFrame({"src_url": [], "dst_url": []}).astype(
+                    {"src_url": "string", "dst_url": "string"}
+                )
+                continue
+            hrefs = hrefs.reset_index(level=1, drop=True)[0]
+            src = pdf["url"].reindex(hrefs.index)
+            origin = src.str.extract(_ORIGIN_RE, expand=False)
+            absolute = hrefs.str.match(r"https?://")
+            rootrel = hrefs.str.startswith("/")
+            dst = hrefs.where(absolute, other=(origin + hrefs).where(rootrel))
+            keep = (absolute | rootrel) & hrefs.ne("")
+            out = pd.DataFrame(
+                {"src_url": src[keep].values, "dst_url": dst[keep].values}
+            )
+            yield out
+
+    return pages.select("url", "html").mapInPandas(
+        run, schema="src_url string, dst_url string"
+    )
+
+
+def edges_from_pages(pages: DataFrame) -> DataFrame:
+    """Full mining pipeline: pages → (src:vid, dst:vid) long-id edge list
+    + the url dictionary. Returns (edges, vertices).
+
+    The dictionary covers both link endpoints (a dst_url may point at a
+    page outside the crawl — it still becomes a vertex, mirroring how a
+    real web graph has edges into uncrawled urls)."""
+    from trianglecount_spark.operators.canonicalize import vertex_dictionary
+
+    raw = extract_links(pages)
+    urls = raw.select(F.col("src_url").alias("url")).unionByName(
+        raw.select(F.col("dst_url").alias("url"))
+    )
+    vertices = vertex_dictionary(urls, "url")
+    e = (
+        raw.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
+        .withColumnRenamed("vid", "src")
+        .join(
+            vertices.withColumnRenamed("url", "dst_url").withColumnRenamed("vid", "dst"),
+            "dst_url",
+        )
+        .select("src", "dst")
+    )
+    return e, vertices

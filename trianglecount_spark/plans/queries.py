@@ -1,0 +1,578 @@
+"""Registered queries + DuckDB oracle SQL for the driver contract.
+
+Every SQL-expressible operator from SURVEY.md §2 (plus the training-data
+pipeline operators) appears here twice: once as a Spark DataFrame program
+(the engine under test) and once as ANSI SQL for DuckDB (the oracle).
+Column names and rounding are aligned pairwise — the driver's comparator
+hashes values after sorting columns by name.
+
+Graph derivations over the driver testdata (FIXTURES.md §4):
+- ``copurchase``: parts sharing an order (lineitem self-join) — sparse,
+  triangle-rich; the flagship graph.
+- ``bipartite``: order–part incidence folded into one id space —
+  triangle-free by construction (checks canonicalization + orientation
+  on a graph whose TC must be exactly 0).
+- ``events co-occurrence``: users sharing (event_type, hour) — denser,
+  exercises skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trianglecount_spark.operators.canonicalize import canonicalize_edges, degrees, orient
+from trianglecount_spark.operators.components import connected_components
+from trianglecount_spark.operators.lpa import label_propagation
+from trianglecount_spark.operators.pagerank import pagerank
+from trianglecount_spark.operators.triangles import (
+    triangles_join,
+    triangles_per_vertex_join,
+    triangles_per_vertex_kernel,
+)
+
+# ---------------------------------------------------------------------------
+# shared loaders / derivations
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def copurchase_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def copurchase_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonicalize_edges(copurchase_raw(spark, sf_dir))
+
+
+def copurchase_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orient(copurchase_sym(spark, sf_dir))
+
+
+def bipartite_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
+    )
+    return canonicalize_edges(raw)
+
+
+def events_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    a = g.select("event_type", "h", F.col("user_id").alias("src"))
+    b = g.select("event_type", "h", F.col("user_id").alias("dst"))
+    return (
+        a.join(b, ["event_type", "h"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+# SQL CTE prefixes mirroring the derivations above, verbatim semantics.
+_CP = """
+WITH raw AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM raw WHERE src <> dst
+  )
+),
+deg AS (SELECT dst AS v, count(*) AS deg FROM und GROUP BY 1),
+o AS (
+  SELECT e.src, e.dst FROM und e
+  JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
+)
+"""
+
+_EV = """
+WITH g AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id FROM events
+),
+p AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM g a JOIN g b ON a.event_type = b.event_type AND a.h = b.h
+  WHERE a.user_id < b.user_id
+)
+"""
+
+_SHINGLES = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(list_transform(list_zip(w, w[2:], w[3:]),
+             x -> CASE WHEN x[2] IS NULL OR x[3] IS NULL THEN NULL
+                  ELSE x[1] || ' ' || x[2] || ' ' || x[3] END),
+             s -> s IS NOT NULL)) AS s
+  FROM w
+)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → distinct (doc_id, s) 3-word shingles; matches _SHINGLES."""
+    from trianglecount_spark.operators.dedup import shingles
+
+    return shingles(_t(spark, sf_dir, "documents"), n=3)
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "hi": ["hai", "ka", "ki", "ke", "aur"],
+}
+
+# minhash config: H independent hashes as min(md5(shingle || '#i'));
+# bands of R rows → candidates share at least one full band.
+_MH_H = 8
+_MH_R = 2
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_edges(spark, sf_dir):
+    return copurchase_sym(spark, sf_dir)
+
+
+def q_degrees(spark, sf_dir):
+    return degrees(copurchase_sym(spark, sf_dir))
+
+
+def q_degree_histogram(spark, sf_dir):
+    return (
+        degrees(copurchase_sym(spark, sf_dir))
+        .groupBy("deg")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def q_oriented_edges(spark, sf_dir):
+    return copurchase_oriented(spark, sf_dir)
+
+
+def q_wedge_count(spark, sf_dir):
+    o = copurchase_oriented(spark, sf_dir)
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return e1.join(e2, "v").agg(F.count("*").alias("n_wedges"))
+
+
+def q_triangle_total(spark, sf_dir):
+    return triangles_join(copurchase_oriented(spark, sf_dir)).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def q_triangle_total_kernel(spark, sf_dir):
+    # kernel strategy, same oracle as the join strategy — cross-variant
+    # agreement is the reference's own correctness method (SURVEY.md §5).
+    return (
+        triangles_per_vertex_kernel(copurchase_oriented(spark, sf_dir))
+        .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles"))
+    )
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    return triangles_per_vertex_join(copurchase_oriented(spark, sf_dir))
+
+
+def q_top_degree(spark, sf_dir):
+    return (
+        degrees(copurchase_sym(spark, sf_dir))
+        .orderBy(F.col("deg").desc(), F.col("v").asc())
+        .limit(20)
+    )
+
+
+def q_triangle_total_bipartite(spark, sf_dir):
+    return triangles_join(orient(bipartite_sym(spark, sf_dir))).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def q_events_edges(spark, sf_dir):
+    return events_pairs(spark, sf_dir)
+
+
+def q_events_triangle_total(spark, sf_dir):
+    # engine path: canonicalize + orient + wedge join; oracle path: plain
+    # a<b<c 3-way join on the pair table — independent formulations.
+    sym = canonicalize_edges(events_pairs(spark, sf_dir))
+    return triangles_join(orient(sym)).agg(F.count("*").alias("n_triangles"))
+
+
+# --- iterative (rows-only: no closed-form SQL) ---
+
+
+def q_pagerank_copurchase(spark, sf_dir):
+    ranks, _ = pagerank(copurchase_sym(spark, sf_dir), tol=1e-6, max_iter=30)
+    return ranks.select("v", F.round("rank", 9).alias("rank"))
+
+
+def q_components_copurchase(spark, sf_dir):
+    comp, _ = connected_components(copurchase_sym(spark, sf_dir))
+    return comp
+
+
+def q_lpa_copurchase(spark, sf_dir):
+    labels, _ = label_propagation(copurchase_sym(spark, sf_dir), max_iter=10)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# relational / windowed queries (engine breadth)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn("pts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(F.col("pts").isNull(), F.lit(0))
+        .when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("pts").cast("timestamp"))
+            > F.lit(1800000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.lit(1) + F.sum("new_sess")).alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+def q_docs_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return w.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_types"),
+    )
+
+
+def q_docs_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sw = _STOPWORDS["en"]
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    tok = w.select("doc_id", F.explode("w").alias("t"))
+    return tok.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("t").isin(sw), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("stop_ratio"),
+        F.round(F.avg(F.length("t")), 6).alias("mean_token_len"),
+    )
+
+
+def q_docs_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    tok = w.select("doc_id", F.explode("w").alias("t"))
+    scores = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("t").isin(_STOPWORDS[lang]), 1).otherwise(0)).alias(
+                f"s_{lang}"
+            )
+            for lang in ("en", "de", "fr", "hi")
+        ]
+    )
+    return scores.select(
+        "doc_id",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_hi"))
+            & (F.col("s_en") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_hi"))
+            & (F.col("s_de") > 0),
+            F.lit("de"),
+        )
+        .when((F.col("s_fr") >= F.col("s_hi")) & (F.col("s_fr") > 0), F.lit("fr"))
+        .when(F.col("s_hi") > 0, F.lit("hi"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text")).cast("binary")).alias("fp")
+    )
+
+
+def q_docs_jaccard_pairs(spark, sf_dir):
+    from trianglecount_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_shingles_df(spark, sf_dir), threshold=0.5)
+
+
+def q_docs_minhash_candidates(spark, sf_dir):
+    from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    sig = minhash_signatures(_shingles_df(spark, sf_dir), n_hashes=_MH_H)
+    return lsh_candidates(sig, n_hashes=_MH_H, rows_per_band=_MH_R)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_emb_knn(spark, sf_dir):
+    from trianglecount_spark.operators.knn import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(qs, emb, k=5).select(
+        "q", "nbr", F.round("sim", 6).alias("sim")
+    )
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    from trianglecount_spark.operators.knn import _cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("cv"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_cosine_expr(), 6).alias("sim"))
+        .where(F.col("sim") >= 0.95)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "copurchase_edges": q_copurchase_edges,
+        "degrees": q_degrees,
+        "degree_histogram": q_degree_histogram,
+        "oriented_edges": q_oriented_edges,
+        "wedge_count": q_wedge_count,
+        "triangle_total": q_triangle_total,
+        "triangle_total_kernel": q_triangle_total_kernel,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "top_degree": q_top_degree,
+        "triangle_total_bipartite": q_triangle_total_bipartite,
+        "events_edges": q_events_edges,
+        "events_triangle_total": q_events_triangle_total,
+        "pagerank_copurchase": q_pagerank_copurchase,
+        "components_copurchase": q_components_copurchase,
+        "lpa_copurchase": q_lpa_copurchase,
+        "lineitem_agg": q_lineitem_agg,
+        "events_sessions": q_events_sessions,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_minhash_candidates": q_docs_minhash_candidates,
+        "emb_knn": q_emb_knn,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
+    }
+
+
+def _sw_pred(col: str, words: list[str]) -> str:
+    return "(" + " OR ".join(f"{col} = '{w}'" for w in words) + ")"
+
+
+def oracle() -> dict[str, str]:
+    tri_sql = (
+        "SELECT count(*) AS n_triangles FROM o e1 "
+        "JOIN o e2 ON e1.dst = e2.src "
+        "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+    )
+    sw_counts = ", ".join(
+        f"sum(CASE WHEN {_sw_pred('t', _STOPWORDS[lang])} THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang in ("en", "de", "fr", "hi")
+    )
+    mh_mins = ", ".join(
+        f"min(md5(s || '#{i}')) AS h{i}" for i in range(_MH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{b * _MH_R} || '|' || h{b * _MH_R + 1}) AS key FROM sig"
+        for b in range(_MH_H // _MH_R)
+    )
+    cos = (
+        "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
+    )
+    return {
+        "copurchase_edges": _CP + "SELECT src, dst FROM und",
+        "degrees": _CP + "SELECT v, deg FROM deg",
+        "degree_histogram": _CP
+        + "SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg",
+        "oriented_edges": _CP + "SELECT src, dst FROM o",
+        "wedge_count": _CP
+        + "SELECT count(*) AS n_wedges FROM o e1 JOIN o e2 ON e1.dst = e2.src",
+        "triangle_total": _CP + tri_sql,
+        "triangle_total_kernel": _CP + tri_sql,
+        "triangles_per_vertex": _CP
+        + (
+            "SELECT e1.src AS v, count(*) AS tri FROM o e1 "
+            "JOIN o e2 ON e1.dst = e2.src "
+            "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst GROUP BY e1.src"
+        ),
+        "top_degree": _CP
+        + "SELECT v, deg FROM deg ORDER BY deg DESC, v ASC LIMIT 20",
+        "triangle_total_bipartite": """
+WITH raw AS (
+  SELECT l_orderkey AS src, 1000000 + l_partkey AS dst FROM lineitem
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw WHERE src <> dst
+    UNION ALL SELECT dst, src FROM raw WHERE src <> dst
+  )
+),
+deg AS (SELECT dst AS v, count(*) AS deg FROM und GROUP BY 1),
+o AS (
+  SELECT e.src, e.dst FROM und e
+  JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
+)
+"""
+        + tri_sql,
+        "events_edges": _EV + "SELECT src, dst FROM p",
+        "events_triangle_total": _EV
+        + (
+            "SELECT count(*) AS n_triangles FROM p e1 "
+            "JOIN p e2 ON e1.dst = e2.src "
+            "JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 6) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_sessions": (
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events) "
+            "SELECT user_id, 1 + sum(CASE WHEN pts IS NULL THEN 0 "
+            "WHEN epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END) "
+            "AS n_sessions FROM x GROUP BY user_id"
+        ),
+        "docs_exact_dedup": (
+            "SELECT md5(text) AS text_hash, count(*) AS n_docs, "
+            "min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
+        ),
+        "docs_token_stats": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+            "len(list_distinct(string_split(text, ' '))) AS n_types FROM documents"
+        ),
+        "docs_quality": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents) "
+            f"SELECT doc_id, round(sum(CASE WHEN {_sw_pred('t', _STOPWORDS['en'])} "
+            "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS stop_ratio, "
+            "round(avg(length(t)), 6) AS mean_token_len FROM tok GROUP BY doc_id"
+        ),
+        "docs_lang_id": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            f"sc AS (SELECT doc_id, {sw_counts} FROM tok GROUP BY doc_id) "
+            "SELECT doc_id, CASE "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_hi AND s_en > 0 THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_hi AND s_de > 0 THEN 'de' "
+            "WHEN s_fr >= s_hi AND s_fr > 0 THEN 'fr' "
+            "WHEN s_hi > 0 THEN 'hi' ELSE 'und' END AS lang_pred FROM sc"
+        ),
+        "docs_fingerprint": (
+            "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+        ),
+        "docs_jaccard_pairs": _SHINGLES
+        + (
+            ", sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac "
+            "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
+            "JOIN sizes sb ON sb.doc_id = inter.b "
+            "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        "docs_minhash_candidates": _SHINGLES
+        + (
+            f", sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+            f"bands AS ({band_selects}) "
+            "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+            "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key "
+            "WHERE l.doc_id < r.doc_id"
+        ),
+        "emb_knn": (
+            "WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 20), "
+            "c AS (SELECT vec_id AS nbr, embedding AS cv FROM embeddings), "
+            f"s AS (SELECT q, nbr, {cos} AS sim FROM q, c WHERE q <> nbr), "
+            "r AS (SELECT q, nbr, sim, row_number() OVER "
+            "(PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk FROM s) "
+            "SELECT q, nbr, round(sim, 6) AS sim FROM r WHERE rk <= 5"
+        ),
+        "emb_neardup_pairs": (
+            "WITH a AS (SELECT vec_id AS a, embedding AS qv FROM embeddings), "
+            "b AS (SELECT vec_id AS b, embedding AS cv FROM embeddings) "
+            f"SELECT a, b, round({cos}, 6) AS sim FROM a, b "
+            f"WHERE a < b AND round({cos}, 6) >= 0.95"
+        ),
+    }
