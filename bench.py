@@ -31,6 +31,7 @@ from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatur
 from trianglecount_spark.operators.knn import cosine_topk_bruteforce  # noqa: E402
 from trianglecount_spark.operators.pagerank import pagerank  # noqa: E402
 from trianglecount_spark.operators.triangles import (  # noqa: E402
+    triangle_count_arrays,
     triangles_join,
     triangles_per_vertex_kernel,
 )
@@ -68,6 +69,12 @@ def main() -> None:
     timings["tc_kernel"] = round(time.time() - t0, 3)
     assert n_tri_k == n_tri, (n_tri_k, n_tri)
     derived["tc_kernel_triangles_per_sec"] = round(n_tri / timings["tc_kernel"], 1)
+
+    t0 = time.time()
+    n_tri_a = triangle_count_arrays(oriented)
+    timings["tc_arrays"] = round(time.time() - t0, 3)
+    assert n_tri_a == n_tri, (n_tri_a, n_tri)
+    derived["tc_arrays_triangles_per_sec"] = round(n_tri / timings["tc_arrays"], 1)
 
     t0 = time.time()
     n_iter = 10

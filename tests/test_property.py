@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from trianglecount_spark.operators import (
+    canonicalize_edges,
+    orient,
+    triangle_count_join,
+    triangles_per_vertex_join,
+)
+from trianglecount_spark.operators.triangles import triangles_per_vertex_kernel
+
+
+def er_graph(n: int, p: float, seed: int):
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    m = rng.random((n, n)) < p
+    return [(i, j) for i in range(n) for j in range(i + 1, n) if m[i, j]]
+
+
+def numpy_triangles(pairs):
+    und = {(a, b) for a, b in pairs if a != b}
+    und |= {(b, a) for a, b in und}
+    verts = sorted({v for e in und for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)), dtype=np.int64)
+    for a, b in und:
+        A[idx[a], idx[b]] = 1
+    return int(np.trace(A @ A @ A) // 6)
+
+
+@pytest.mark.parametrize("seed,n,p", [(1, 30, 0.2), (2, 40, 0.15), (3, 25, 0.35)])
+def test_random_graph_all_strategies_agree(spark, seed, n, p):
+    pairs = er_graph(n, p, seed)
+    want = numpy_triangles(pairs)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    o = orient(canonicalize_edges(e))
+    assert triangle_count_join(o) == want
+    # kernel form, multiple partitionings + forced salting
+    pv_ref = {r.v: r.tri for r in triangles_per_vertex_join(o).collect()}
+    for k, thr in [(1, 4096), (4, 4096), (4, 3)]:
+        pv = {
+            r.v: r.tri
+            for r in triangles_per_vertex_kernel(
+                o, n_parts=k, salt_threshold=thr, n_salts=4
+            ).collect()
+        }
+        assert pv == pv_ref, (k, thr)
+    assert sum(pv_ref.values()) == want

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+from trianglecount_spark.operators import canonicalize_edges, orient, triangle_count_join
+from trianglecount_spark.plans.partitioning import contig_parts, hash_parts
+from trianglecount_spark.sources.edge_files import (
+    read_mtx_edges,
+    read_snap_edges,
+    read_tsv_edges,
+)
+
+K4_PAIRS = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+
+
+def _count(spark, df):
+    return triangle_count_join(orient(canonicalize_edges(df)))
+
+
+def test_tsv_scan(spark, tmp_path):
+    p = tmp_path / "g.tsv"
+    p.write_text("".join(f"{a}\t{b}\t1.0\n" for a, b in K4_PAIRS))
+    df = read_tsv_edges(spark, str(p))
+    assert df.count() == 6
+    assert _count(spark, df) == 4
+
+
+def test_snap_scan(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text(
+        "# Directed graph\n# K4\n# Nodes: 4 Edges: 6\n# FromNodeId ToNodeId\n"
+        + "".join(f"{a}\t{b}\n" for a, b in K4_PAIRS)
+    )
+    df = read_snap_edges(spark, str(p))
+    assert df.count() == 6
+    assert _count(spark, df) == 4
+
+
+def test_mtx_scan(spark, tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n% K4\n4 4 6\n"
+        + "".join(f"{a + 1} {b + 1}\n" for a, b in K4_PAIRS)
+    )
+    df = read_mtx_edges(spark, str(p))
+    assert {(r.src, r.dst) for r in df.collect()} == set(K4_PAIRS)
+    assert _count(spark, df) == 4
+
+
+def test_partition_assignments(spark):
+    verts = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    hp = hash_parts(verts, 8)
+    assert hp.count() == 100
+    parts = {r.part for r in hp.collect()}
+    assert parts <= set(range(8)) and len(parts) > 1
+    # deterministic
+    assert {(r.v, r.part) for r in hp.collect()} == {
+        (r.v, r.part) for r in hash_parts(verts, 8).collect()
+    }
+    cp = {r.v: r.part for r in contig_parts(verts, 4, 100).collect()}
+    assert cp[0] == 0 and cp[99] == 3 and cp[25] == 1

@@ -10,7 +10,11 @@ from trianglecount_spark.operators import (
     triangle_count_kernel,
     triangles_per_vertex_join,
 )
-from trianglecount_spark.operators.triangles import triangles_per_vertex_kernel
+from trianglecount_spark.operators.triangles import (
+    triangle_count_arrays,
+    triangles_per_vertex_arrays,
+    triangles_per_vertex_kernel,
+)
 
 
 def _oriented(spark, name):
@@ -54,6 +58,20 @@ def test_kernel_salting_path(spark):
     }
     pv_plain = {r.v: r.tri for r in triangles_per_vertex_join(o).collect()}
     assert pv_salted == pv_plain
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_arrays_form_totals(spark, name):
+    _, want = GOLDEN[name]
+    assert triangle_count_arrays(_oriented(spark, name)) == want
+
+
+def test_arrays_per_vertex_matches_join(spark):
+    for name in ("k4", "bowtie", "hub", "diamond"):
+        o = _oriented(spark, name)
+        a = {r.v: r.tri for r in triangles_per_vertex_arrays(o).collect()}
+        b = {r.v: r.tri for r in triangles_per_vertex_join(o).collect()}
+        assert a == b, name
 
 
 def test_per_vertex_anchor_attribution_tri(spark):

@@ -84,6 +84,49 @@ def triangle_count_join(oriented: DataFrame) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Strategy 1b: per-edge sorted-adjacency intersection (JVM arrays)
+# ---------------------------------------------------------------------------
+
+def triangles_per_vertex_arrays(oriented: DataFrame) -> DataFrame:
+    """Per-vertex counts via per-edge adjacency intersection: ``v, tri``.
+
+    The closest declarative analog of the reference kernel (C6 sorted
+    adjacency + T1 membership probes): build N+(u) once as a sorted
+    array, then for every oriented edge (u, v) count
+    |N+(u) ∩ N+(v)| with JVM ``array_intersect`` — each triangle found
+    exactly once at its anchor u (w ∈ N+(u) ∩ N+(v) ⟺ u→v, u→w, v→w).
+
+    vs the wedge join: no 49M-row wedge materialization — one groupBy
+    (adjacency build) + two joins whose payload is one array per row.
+    Work is Σ_(u,v)∈E (d⁺(u)+d⁺(v)) hash-set operations, the same
+    asymptotics as the reference's probe loop.
+    """
+    adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+    per_edge = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(a_u, "u")
+        .join(a_v, "v")
+        .select("u", F.size(F.array_intersect("nu", "nv")).alias("c"))
+    )
+    return (
+        per_edge.groupBy(F.col("u").alias("v"))
+        .agg(F.sum("c").alias("tri"))
+        .where(F.col("tri") > 0)
+    )
+
+
+def triangle_count_arrays(oriented: DataFrame) -> int:
+    row = (
+        triangles_per_vertex_arrays(oriented)
+        .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
+        .collect()[0]
+    )
+    return int(row["t"])
+
+
+# ---------------------------------------------------------------------------
 # Strategy 2: partitioned CSR kernel form (applyInPandas)
 # ---------------------------------------------------------------------------
 
@@ -123,39 +166,53 @@ def _count_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     srcs = pdf["src"].to_numpy(dtype=np.int64)
     dsts = pdf["dst"].to_numpy(dtype=np.int64)
     anchor_mask = pdf["is_anchor"].to_numpy(dtype=bool)
+    if not anchor_mask.any():
+        return pd.DataFrame({"v": [], "tri": []}).astype({"v": "int64", "tri": "int64"})
 
     # de-duplicated CSR over all rows present in the group
     pairs = np.unique(np.stack([srcs, dsts], axis=1), axis=0)
     row_ids, indptr, col_idx = _csr_from_rows(pairs[:, 0], pairs[:, 1])
 
-    # de-duplicated seed pairs, grouped by anchor
+    # de-duplicated seed pairs (u, v)
     seed_pairs = np.unique(
         np.stack([srcs[anchor_mask], dsts[anchor_mask]], axis=1), axis=0
     )
-    anchor_ids, seed_starts = np.unique(seed_pairs[:, 0], return_index=True)
-    seed_ends = np.append(seed_starts[1:], len(seed_pairs))
+    seed_u = seed_pairs[:, 0]
+    seed_v = seed_pairs[:, 1]
 
-    out_v: list[int] = []
-    out_t: list[int] = []
-    pos = np.searchsorted(row_ids, anchor_ids)
-    for u, p, s0, s1 in zip(anchor_ids, pos, seed_starts, seed_ends):
-        nu = col_idx[indptr[p] : indptr[p + 1]]  # full sorted N+(u)
-        if len(nu) < 2:
-            continue
-        seed_vs = seed_pairs[s0:s1, 1]
-        vpos = np.searchsorted(row_ids, seed_vs)
-        total = 0
-        for v, vp in zip(seed_vs, vpos):
-            if vp >= len(row_ids) or row_ids[vp] != v:
-                continue  # v has no out-edges anywhere
-            nv = col_idx[indptr[vp] : indptr[vp + 1]]
-            idx = np.searchsorted(nu, nv)
-            idx[idx == len(nu)] = 0
-            total += int(np.count_nonzero(nu[idx] == nv))
-        if total:
-            out_v.append(int(u))
-            out_t.append(total)
-    return pd.DataFrame({"v": out_v, "tri": out_t})
+    # Wedge expansion, fully vectorized (T2): for every seed (u, v),
+    # enumerate all w ∈ N+(v) from the CSR...
+    vpos = np.searchsorted(row_ids, seed_v)
+    vpos_c = np.minimum(vpos, len(row_ids) - 1)
+    has_adj = row_ids[vpos_c] == seed_v
+    starts = indptr[vpos_c]
+    lens = np.where(has_adj, indptr[vpos_c + 1] - starts, 0)
+    total_w = int(lens.sum())
+    if total_w == 0:
+        return pd.DataFrame({"v": [], "tri": []}).astype({"v": "int64", "tri": "int64"})
+    # gather indices: for seed i, col_idx[starts[i] .. starts[i]+lens[i])
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = np.arange(total_w) - np.repeat(offs, lens) + np.repeat(starts, lens)
+    w = col_idx[idx]
+    anchors_rep = np.repeat(seed_u, lens)
+
+    # ...and probe (u, w) ∈ E via binary search over the packed sorted
+    # pair set (T1). Pack (u, w) into one int64 — valid while vids fit
+    # 31 bits, which holds for any per-partition relabeled id space; the
+    # engine's dictionary ids are compacted so this covers graphs to 2B
+    # vertices. (pairs are lexsorted, so packed keys are sorted.)
+    max_id = int(max(pairs.max(), w.max()))
+    assert max_id < (1 << 31), "vertex ids exceed 31 bits — repack kernel keys"
+    edge_keys = (pairs[:, 0] << 32) | pairs[:, 1]
+    probe_keys = (anchors_rep << 32) | w
+    hit_pos = np.searchsorted(edge_keys, probe_keys)
+    hit_pos[hit_pos == len(edge_keys)] = 0
+    hits = edge_keys[hit_pos] == probe_keys
+
+    # per-anchor partial sums (T4): map-side combine inside the kernel
+    hit_anchors = anchors_rep[hits]
+    out_v, out_t = np.unique(hit_anchors, return_counts=True)
+    return pd.DataFrame({"v": out_v.astype(np.int64), "tri": out_t.astype(np.int64)})
 
 
 def triangles_per_vertex_kernel(

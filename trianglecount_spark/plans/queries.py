@@ -194,6 +194,14 @@ def q_triangle_total_kernel(spark, sf_dir):
     )
 
 
+def q_triangle_total_arrays(spark, sf_dir):
+    from trianglecount_spark.operators.triangles import triangles_per_vertex_arrays
+
+    return triangles_per_vertex_arrays(copurchase_oriented(spark, sf_dir)).agg(
+        F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
+    )
+
+
 def q_triangles_per_vertex(spark, sf_dir):
     return triangles_per_vertex_join(copurchase_oriented(spark, sf_dir))
 
@@ -411,6 +419,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": q_wedge_count,
         "triangle_total": q_triangle_total,
         "triangle_total_kernel": q_triangle_total_kernel,
+        "triangle_total_arrays": q_triangle_total_arrays,
         "triangles_per_vertex": q_triangles_per_vertex,
         "top_degree": q_top_degree,
         "triangle_total_bipartite": q_triangle_total_bipartite,
@@ -467,6 +476,7 @@ def oracle() -> dict[str, str]:
         + "SELECT count(*) AS n_wedges FROM o e1 JOIN o e2 ON e1.dst = e2.src",
         "triangle_total": _CP + tri_sql,
         "triangle_total_kernel": _CP + tri_sql,
+        "triangle_total_arrays": _CP + tri_sql,
         "triangles_per_vertex": _CP
         + (
             "SELECT e1.src AS v, count(*) AS tri FROM o e1 "
