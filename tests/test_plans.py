@@ -51,3 +51,38 @@ def test_orientation_filter_is_codegen(spark):
     assert "*(" in executed, executed[:2000]
     plan = _plan(df)
     assert "Filter" in plan
+
+
+def test_registry_oracle_consistency():
+    from trianglecount_spark.plans.queries import oracle, registry
+
+    reg = registry()
+    orc = oracle()
+    # every oracle key must be a registered query
+    assert set(orc) <= set(reg), set(orc) - set(reg)
+    # only iterative (non-SQL-expressible) queries may omit an oracle
+    rows_only = set(reg) - set(orc)
+    assert rows_only == {
+        "pagerank_copurchase",
+        "components_copurchase",
+        "lpa_copurchase",
+        "web_pagerank",
+    }, rows_only
+
+
+def test_web_pipeline_end_to_end(spark):
+    # pages built from documents → real mapInPandas miner → TC (sf0.001)
+    from trianglecount_spark.plans.queries import (
+        q_web_edges_mined,
+        q_web_triangle_total,
+        web_pages_from_documents,
+    )
+
+    pages = web_pages_from_documents(spark, SF)
+    n_pages = pages.count()
+    assert n_pages > 0
+    mined = q_web_edges_mined(spark, SF)
+    # 3 resolvable links per page (abs, root-relative, self)
+    assert mined.count() == 3 * n_pages
+    total = q_web_triangle_total(spark, SF).collect()[0]["n_triangles"]
+    assert total >= 0

@@ -406,6 +406,148 @@ def q_emb_neardup_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# flagship web pipeline: pages(html) → href mining → edge table → graph ops
+# ---------------------------------------------------------------------------
+# The north-star input is an Iceberg pages table; here the pages are built
+# DETERMINISTICALLY from the driver's `documents` table (pure doc_id
+# arithmetic) so DuckDB can reconstruct the identical html strings and act
+# as an independent oracle for the real mapInPandas extractor
+# (functions/extract.py) and the downstream graph pipeline. Construction
+# mirrors sources/pages.py: absolute + root-relative + self links, plus
+# malformed anchors the miner must skip.
+
+
+def web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (url, html:binary) pages, pure column arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    site = F.pmod(F.col("doc_id"), F.lit(10))
+    local = F.floor(F.col("doc_id") / 10).cast("long")
+    t1 = F.pmod(F.col("doc_id") * 7 + 3, F.lit(997))
+    url = F.format_string("https://s%d.example/d%d", site, local)
+    html = F.concat(
+        F.format_string("<html><head><title>Doc %d</title></head><body>\n", F.col("doc_id")),
+        F.format_string(
+            "<p>w%d w%d w%d</p>\n",
+            F.pmod(F.col("doc_id"), F.lit(7)),
+            F.pmod(F.col("doc_id"), F.lit(13)),
+            F.pmod(F.col("doc_id"), F.lit(5)),
+        ),
+        F.format_string(
+            '<a href="https://s%d.example/d%d">a</a>\n',
+            F.pmod(t1, F.lit(10)),
+            F.floor(t1 / 10).cast("long"),
+        ),
+        F.format_string('<a href="/d%d">r</a>\n', local + 1),
+        F.format_string('<a href="/d%d">self</a>\n', local),
+        F.lit("<a href=>broken</a><a>nohref</a>"),
+        F.lit("<a href='/d9'>sq</a></body></html>"),
+    )
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_web_text_extraction(spark, sf_dir):
+    """The input_hint per-row invariant: extractor output (url, text)
+    vs the independently reconstructed golden text."""
+    from trianglecount_spark.functions.extract import extract_text
+
+    return extract_text(web_pages_from_documents(spark, sf_dir))
+
+
+def q_web_edges_mined(spark, sf_dir):
+    """Raw mined link table (src_url, dst_url): href parse + relative-url
+    resolution, self-links retained (canonicalization is separate)."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    return extract_links(web_pages_from_documents(spark, sf_dir))
+
+
+def q_web_vertex_dict(spark, sf_dir):
+    """Deterministic url→vid dictionary over both link endpoints (C3
+    id-compaction; row_number over sorted urls, retry-deterministic)."""
+    from trianglecount_spark.functions.extract import extract_links
+    from trianglecount_spark.operators.canonicalize import vertex_dictionary
+
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    urls = raw.select(F.col("src_url").alias("url")).unionByName(
+        raw.select(F.col("dst_url").alias("url"))
+    )
+    return vertex_dictionary(urls, "url")
+
+
+def q_web_triangle_total(spark, sf_dir):
+    """End-to-end flagship: pages → mined edges → vid dictionary →
+    canonicalize → degree-orient → triangle count. The dictionary is
+    order-preserving (vid order == url order), so the orientation
+    tie-break agrees with the oracle's url-keyed formulation."""
+    from trianglecount_spark.functions.extract import edges_from_pages
+
+    e, _verts = edges_from_pages(web_pages_from_documents(spark, sf_dir))
+    oriented = orient(canonicalize_edges(e))
+    return triangles_join(oriented).agg(F.count("*").alias("n_triangles"))
+
+
+def q_web_pagerank(spark, sf_dir):
+    """PageRank over the mined web graph (iterative — rows-only check;
+    exactness vs the NumPy oracle is covered in tests/test_iterative.py)."""
+    from trianglecount_spark.functions.extract import edges_from_pages
+
+    e, _verts = edges_from_pages(web_pages_from_documents(spark, sf_dir))
+    sym = canonicalize_edges(e)
+    ranks, _log = pagerank(sym, tol=1e-6, max_iter=40)
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
+# DuckDB reconstruction of the same pages + mining rules.
+_WEB = """
+WITH pg AS (
+  SELECT doc_id,
+         'https://s' || (doc_id % 10) || '.example/d' || (doc_id // 10) AS url,
+         '<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) ||
+         '<p>w' || (doc_id % 7) || ' w' || (doc_id % 13) || ' w' || (doc_id % 5)
+           || '</p>' || chr(10) ||
+         '<a href="https://s' || (((doc_id * 7 + 3) % 997) % 10) || '.example/d'
+           || (((doc_id * 7 + 3) % 997) // 10) || '">a</a>' || chr(10) ||
+         '<a href="/d' || (doc_id // 10 + 1) || '">r</a>' || chr(10) ||
+         '<a href="/d' || (doc_id // 10) || '">self</a>' || chr(10) ||
+         '<a href=>broken</a><a>nohref</a>' ||
+         '<a href=''/d9''>sq</a></body></html>' AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM pg
+),
+mined AS (
+  SELECT src_url,
+         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(src_url, '^(https?://[^/]+)', 1) || href
+         END AS dst_url
+  FROM hrefs
+  WHERE href <> '' AND (href LIKE 'http://%' OR href LIKE 'https://%'
+                        OR href LIKE '/%')
+)
+"""
+
+_WEB_GRAPH = _WEB + """
+, und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src_url AS src, dst_url AS dst FROM mined WHERE src_url <> dst_url
+    UNION ALL
+    SELECT dst_url AS src, src_url AS dst FROM mined WHERE src_url <> dst_url
+  )
+),
+deg AS (SELECT dst AS v, count(*) AS deg FROM und GROUP BY 1),
+o AS (
+  SELECT e.src, e.dst FROM und e
+  JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -439,6 +581,11 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "emb_knn": q_emb_knn,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "web_text_extraction": q_web_text_extraction,
+        "web_edges_mined": q_web_edges_mined,
+        "web_vertex_dict": q_web_vertex_dict,
+        "web_triangle_total": q_web_triangle_total,
+        "web_pagerank": q_web_pagerank,
     }
 
 
@@ -585,4 +732,24 @@ o AS (
             f"SELECT a, b, round({cos}, 6) AS sim FROM a, b "
             f"WHERE a < b AND round({cos}, 6) >= 0.95"
         ),
+        "web_text_extraction": _WEB
+        + (
+            "SELECT url, 'Doc ' || doc_id || chr(10) || 'w' || (doc_id % 7) "
+            "|| ' w' || (doc_id % 13) || ' w' || (doc_id % 5) AS text FROM pg"
+        ),
+        "web_edges_mined": _WEB + "SELECT src_url, dst_url FROM mined",
+        "web_vertex_dict": _WEB
+        + (
+            ", u AS (SELECT DISTINCT url FROM ("
+            "SELECT src_url AS url FROM mined "
+            "UNION ALL SELECT dst_url AS url FROM mined)) "
+            "SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM u"
+        ),
+        "web_triangle_total": _WEB_GRAPH
+        + (
+            "SELECT count(*) AS n_triangles FROM o e1 "
+            "JOIN o e2 ON e1.dst = e2.src "
+            "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        # web_pagerank: iterative — intentionally no SQL oracle (rows-only).
     }
