@@ -67,6 +67,8 @@ def test_registry_oracle_consistency():
         "components_copurchase",
         "lpa_copurchase",
         "web_pagerank",
+        "emb_knn_lsh",
+        "emb_knn_ivf",
     }, rows_only
 
 

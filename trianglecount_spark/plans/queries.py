@@ -146,6 +146,32 @@ _STOPWORDS = {
 _MH_H = 8
 _MH_R = 2
 
+# SimHash oracle: 60-bit hash from the first 15 hex chars of md5(token),
+# per-bit ±cnt votes — mirrors operators/dedup.simhash64 exactly.
+_SIMHASH = """
+WITH tokc AS (
+  SELECT doc_id, t, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+h AS (
+  SELECT doc_id, cnt,
+         CAST(CAST('0x' || substring(md5(t), 1, 15) AS UBIGINT) AS BIGINT) AS hv
+  FROM tokc
+),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+  FROM h, (SELECT unnest(range(60)) AS b) bs
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
 
 # ---------------------------------------------------------------------------
 # graph queries
@@ -381,6 +407,46 @@ def q_docs_minhash_candidates(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_docs_simhash(spark, sf_dir):
+    from trianglecount_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_simhash_neardup(spark, sf_dir):
+    """Banded SimHash near-dup pairs. The 4-band split is pigeonhole-exact
+    for hamming ≤ 3, so the result equals the oracle's exhaustive
+    all-pairs hamming filter."""
+    from trianglecount_spark.operators.dedup import simhash64, simhash_neardup_pairs
+
+    sim = simhash64(_t(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(sim, max_hamming=3, n_bands=4)
+
+
+def q_emb_knn_lsh(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH (the 100 TB scale path
+    for emb_knn; deterministic under seed — rows-only driver check, recall
+    vs brute force is asserted in tests/)."""
+    from trianglecount_spark.operators.knn import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_lsh(qs, emb, k=5).select(
+        "q", "nbr", F.round("sim", 6).alias("sim")
+    )
+
+
+def q_emb_knn_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (centroid probe n=4) — deterministic; rows-only."""
+    from trianglecount_spark.operators.knn import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(qs, emb, k=5).select(
+        "q", "nbr", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_emb_knn(spark, sf_dir):
     from trianglecount_spark.operators.knn import cosine_topk_bruteforce
 
@@ -579,6 +645,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_candidates": q_docs_minhash_candidates,
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_neardup": q_docs_simhash_neardup,
+        "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "emb_knn": q_emb_knn,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "web_text_extraction": q_web_text_extraction,
@@ -717,6 +787,17 @@ o AS (
             "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key "
             "WHERE l.doc_id < r.doc_id"
         ),
+        "docs_simhash": _SIMHASH + "SELECT doc_id, simhash FROM sh",
+        "docs_simhash_neardup": _SIMHASH
+        + (
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        # emb_knn_lsh / emb_knn_ivf: approximate ANN (seeded-deterministic)
+        # — no closed-form SQL oracle; rows-only. Recall vs brute force is
+        # asserted in tests/.
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings "
             "WHERE vec_id < 20), "
