@@ -69,6 +69,7 @@ def test_registry_oracle_consistency():
         "web_pagerank",
         "emb_knn_lsh",
         "emb_knn_ivf",
+        "media_features",
     }, rows_only
 
 

@@ -563,6 +563,50 @@ def q_web_pagerank(spark, sf_dir):
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# multimodal plumbing queries (driver-visible; media derived from documents)
+# ---------------------------------------------------------------------------
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media(media_id, kind, payload:binary, meta) fixture:
+    payload = utf-8 text bytes, kind/meta pure doc_id arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    kind = F.expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    )
+    meta = F.map_from_arrays(
+        F.array(F.lit("n_frames")),
+        F.array((F.lit(30) + F.pmod("doc_id", F.lit(100))).cast("string")),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def q_media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (metadata-driven explode — the decode
+    fan-out Spark plans and partitions; decode itself is stubbed, see
+    operators/multimodal.py)."""
+    from trianglecount_spark.operators.multimodal import frame_sample_plan
+
+    return frame_sample_plan(media_from_documents(spark, sf_dir), every_n=10)
+
+
+def q_media_features(spark, sf_dir):
+    """Deterministic fake featurizer over binary payloads (real Arrow
+    batch shape; rows-only — sha256-derived vectors have no SQL form)."""
+    from trianglecount_spark.operators.multimodal import fake_image_features
+
+    feats = fake_image_features(media_from_documents(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 # DuckDB reconstruction of the same pages + mining rules.
 _WEB = """
 WITH pg AS (
@@ -656,6 +700,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_vertex_dict": q_web_vertex_dict,
         "web_triangle_total": q_web_triangle_total,
         "web_pagerank": q_web_pagerank,
+        "media_frame_plan": q_media_frame_plan,
+        "media_features": q_media_features,
     }
 
 
@@ -833,4 +879,10 @@ o AS (
             "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
         # web_pagerank: iterative — intentionally no SQL oracle (rows-only).
+        "media_frame_plan": (
+            "SELECT doc_id AS media_id, "
+            "unnest(range(0, 30 + doc_id % 100, 10)) AS frame_idx "
+            "FROM documents WHERE doc_id % 3 = 2"
+        ),
+        # media_features: sha256-derived vectors — no SQL form (rows-only).
     }
