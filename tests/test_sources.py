@@ -57,3 +57,23 @@ def test_partition_assignments(spark):
     }
     cp = {r.v: r.part for r in contig_parts(verts, 4, 100).collect()}
     assert cp[0] == 0 and cp[99] == 3 and cp[25] == 1
+
+
+def test_synth_powerlaw_deterministic_partition_independent(spark):
+    from trianglecount_spark.sources.synth import powerlaw_edges
+
+    a = powerlaw_edges(spark, 10_000, 1_000, n_partitions=1).collect()
+    b = powerlaw_edges(spark, 10_000, 1_000, n_partitions=8).collect()
+    sa = sorted((r.src, r.dst) for r in a)
+    sb = sorted((r.src, r.dst) for r in b)
+    assert sa == sb
+    assert len(sa) == 10_000
+    # heavy-tailed: vertex 0's neighborhood dwarfs the median vertex's
+    import collections
+
+    deg = collections.Counter()
+    for s, d in sa:
+        deg[s] += 1
+        deg[d] += 1
+    degs = sorted(deg.values())
+    assert degs[-1] > 20 * degs[len(degs) // 2]

@@ -47,17 +47,44 @@ from pyspark.sql import functions as F
 # Strategy 1: declarative join form
 # ---------------------------------------------------------------------------
 
-def triangles_join(oriented: DataFrame) -> DataFrame:
+# Above this many oriented edges the closure side stops being broadcast
+# and the semi-join shuffles (AQE picks the strategy). 32M packed edges
+# ≈ 512 MB serialized — the practical single-executor broadcast ceiling.
+_BROADCAST_EDGE_LIMIT = 32_000_000
+
+
+def triangles_join(oriented: DataFrame, closure: str = "auto") -> DataFrame:
     """All triangles as (u, v, w) rows, u ≺ v ≺ w in oriented order.
 
-    Two shuffles: wedge join on v, closure semi-join on (u, w). The
-    orientation bounds wedge fan-out by the oriented out-degree
+    Wedge join on v, then closure semi-join of (u, w) against the edge
+    set. The orientation bounds wedge fan-out by the oriented out-degree
     (≤ O(√E) amortized), which is what makes the wedge join feasible on
     power-law graphs at all.
+
+    ``closure`` picks the physical strategy for the closure probe:
+    - ``"broadcast"``: broadcast-hash semi-join — the wedge stream is
+      filtered in place, never shuffled. The dominant cost of the
+      declarative form is otherwise the exchange of |wedges| ≫ |E| rows;
+      broadcasting the *edge* side (16 bytes/row) eliminates it. This is
+      the physical analog of the reference keeping the full CSR resident
+      on-device and probing it per wedge
+      (ShareKernelTCV62_update_v1.cu:100-173).
+    - ``"shuffle"``: shuffled semi-join — required when E itself is too
+      big for one executor's memory (the 100 TB regime); AQE handles
+      skew splitting.
+    - ``"auto"``: broadcast iff the oriented edge count (one cheap count
+      on an input that is cached in every pipeline here) is under
+      ``_BROADCAST_EDGE_LIMIT``.
     """
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    if closure == "auto":
+        closure = (
+            "broadcast" if oriented.count() <= _BROADCAST_EDGE_LIMIT else "shuffle"
+        )
+    if closure == "broadcast":
+        e3 = F.broadcast(e3)
     wedges = e1.join(e2, "v")
     return wedges.join(e3, ["u", "w"], "left_semi").select("u", "v", "w")
 
@@ -132,86 +159,116 @@ def triangle_count_arrays(oriented: DataFrame) -> int:
 
 _KERNEL_OUT_SCHEMA = "v long, tri long"
 
+_EMPTY = pd.DataFrame({"v": pd.Series([], dtype="int64"), "tri": pd.Series([], dtype="int64")})
 
-def _csr_from_rows(srcs: np.ndarray, dsts: np.ndarray):
-    """Build a local CSR over the rows present (T7: np.cumsum offsets;
-    C6: per-row neighbor sort). Returns (row_ids, indptr, col_idx) where
-    row_ids are the distinct sources in ascending order."""
-    order = np.lexsort((dsts, srcs))
-    s = srcs[order]
-    d = dsts[order]
-    row_ids, counts = np.unique(s, return_counts=True)
+# row kinds in the kernel shuffle
+_K_HALO = 0          # adjacency operand: (v, full sorted N+(v))
+_K_SEED = 1          # unsalted anchor: seeds == full sorted N+(u)
+_K_SEED_SALTED = 2   # salted hub anchor: seeds = one bucket's slice of N+(u)
+
+
+def _csr_from_arrays(vs: np.ndarray, arrs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Local CSR from (vertex, sorted-adjacency-array) rows (T7:
+    np.cumsum offsets; C6 sort happened JVM-side in sort_array).
+    Returns (row_ids asc, indptr, col_idx)."""
+    order = np.argsort(vs)
+    row_ids = vs[order]
+    lists = [np.asarray(arrs[i], dtype=np.int64) for i in order]
+    lens = np.fromiter((len(a) for a in lists), dtype=np.int64, count=len(lists))
     indptr = np.empty(len(row_ids) + 1, dtype=np.int64)
     indptr[0] = 0
-    np.cumsum(counts, out=indptr[1:])
-    return row_ids, indptr, d
+    np.cumsum(lens, out=indptr[1:])
+    col_idx = (
+        np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
+    )
+    return row_ids, indptr, col_idx
 
 
 def _count_partition(pdf: pd.DataFrame) -> pd.DataFrame:
     """Count wedge closures for the anchor seeds of one group.
 
-    Input rows: src, dst, is_anchor. Seed rows (is_anchor=True) are the
-    wedge seeds (u, v) this group is responsible for — for a salted hub
-    only its bucket's slice of N+(u). Halo rows (is_anchor=False) carry
-    the adjacency lists needed as intersection operands, including the
-    hub's own full N+(u). The same (src, dst) pair may appear as both;
-    the CSR is built over the de-duplicated union, while seeds keep
-    their own (deduped) pair set.
+    Input rows (v, part, seeds, kind): halo rows carry the full sorted
+    adjacency N+(v) of every vertex the group's seeds point at (and of
+    every salted hub anchored here); seed rows carry each anchor's wedge
+    seeds — its full N+(u) when unsalted, one hash bucket's slice for a
+    salted hub. Arrays arrive Arrow-packed: one row per (vertex, group),
+    never per edge.
 
-    For each seed (u, v): count |N+(v) ∩ N+(u)| by binary-searching the
-    sorted N+(v) elements in the sorted full N+(u) (T1/T2). For an
-    unsalted anchor the seed set equals N+(u), giving the classic
-    per-anchor intersection total.
+    For each seed (u, v): count |N+(v) ∩ T(u)| where the intersection
+    target T(u) is the seed array itself (unsalted — it IS N+(u)) or the
+    halo-shipped full N+(u) (salted), by binary-searching packed (u, w)
+    keys (T1/T2). Per-anchor partial sums (T4) leave as (v, tri) rows.
     """
-    srcs = pdf["src"].to_numpy(dtype=np.int64)
-    dsts = pdf["dst"].to_numpy(dtype=np.int64)
-    anchor_mask = pdf["is_anchor"].to_numpy(dtype=bool)
-    if not anchor_mask.any():
-        return pd.DataFrame({"v": [], "tri": []}).astype({"v": "int64", "tri": "int64"})
+    kind = pdf["kind"].to_numpy(dtype=np.int64)
+    vs = pdf["v"].to_numpy(dtype=np.int64)
+    arrs = pdf["seeds"].to_numpy()
+    seed_mask = kind != _K_HALO
+    if not seed_mask.any():
+        return _EMPTY.copy()
 
-    # de-duplicated CSR over all rows present in the group
-    pairs = np.unique(np.stack([srcs, dsts], axis=1), axis=0)
-    row_ids, indptr, col_idx = _csr_from_rows(pairs[:, 0], pairs[:, 1])
+    # adjacency CSR over halo rows (wedge middles + salted hub targets)
+    row_ids, indptr, col_idx = _csr_from_arrays(vs[kind == _K_HALO], arrs[kind == _K_HALO])
+    if row_ids.size == 0:
+        # no middle adjacency in this group → no wedge can close
+        return _EMPTY.copy()
 
-    # de-duplicated seed pairs (u, v)
-    seed_pairs = np.unique(
-        np.stack([srcs[anchor_mask], dsts[anchor_mask]], axis=1), axis=0
+    # anchor targets T(u): CSR keyed by anchor id, from seed rows
+    # (unsalted: the seed array; salted: dict lookup of full adjacency)
+    s_v = vs[seed_mask]
+    s_kind = kind[seed_mask]
+    s_arr = arrs[seed_mask]
+    t_lists = []
+    for i in range(len(s_v)):
+        if s_kind[i] == _K_SEED:
+            t_lists.append(np.asarray(s_arr[i], dtype=np.int64))
+        else:
+            pos = np.searchsorted(row_ids, s_v[i])
+            assert pos < len(row_ids) and row_ids[pos] == s_v[i], "salted hub adjacency missing"
+            t_lists.append(col_idx[indptr[pos] : indptr[pos + 1]])
+    t_order = np.argsort(s_v)
+    t_ids = s_v[t_order]
+    t_lens = np.fromiter((len(t_lists[i]) for i in t_order), dtype=np.int64, count=len(t_order))
+    t_indptr = np.empty(len(t_ids) + 1, dtype=np.int64)
+    t_indptr[0] = 0
+    np.cumsum(t_lens, out=t_indptr[1:])
+    t_col = (
+        np.concatenate([t_lists[i] for i in t_order]) if len(t_order) else np.empty(0, np.int64)
     )
-    seed_u = seed_pairs[:, 0]
-    seed_v = seed_pairs[:, 1]
+    assert (t_ids.size and int(max(t_ids.max(), t_col.max(initial=0))) < (1 << 31)) or not t_ids.size, (
+        "vertex ids exceed 31 bits — repack kernel keys"
+    )
+    # packed (anchor, target) keys: globally sorted because anchors are
+    # sorted and each adjacency array is sorted (C6)
+    target_keys = (np.repeat(t_ids, t_lens) << 32) | t_col
 
-    # Wedge expansion, fully vectorized (T2): for every seed (u, v),
-    # enumerate all w ∈ N+(v) from the CSR...
+    # wedge expansion (T2): seeds (u, v) → all w ∈ N+(v) from the CSR
+    seed_u = np.repeat(s_v, np.fromiter((len(a) for a in s_arr), dtype=np.int64, count=len(s_arr)))
+    seed_v = (
+        np.concatenate([np.asarray(a, dtype=np.int64) for a in s_arr])
+        if len(s_arr)
+        else np.empty(0, np.int64)
+    )
     vpos = np.searchsorted(row_ids, seed_v)
-    vpos_c = np.minimum(vpos, len(row_ids) - 1)
-    has_adj = row_ids[vpos_c] == seed_v
+    vpos_c = np.minimum(vpos, max(len(row_ids) - 1, 0))
+    has_adj = (row_ids[vpos_c] == seed_v) if len(row_ids) else np.zeros(len(seed_v), bool)
     starts = indptr[vpos_c]
     lens = np.where(has_adj, indptr[vpos_c + 1] - starts, 0)
     total_w = int(lens.sum())
     if total_w == 0:
-        return pd.DataFrame({"v": [], "tri": []}).astype({"v": "int64", "tri": "int64"})
-    # gather indices: for seed i, col_idx[starts[i] .. starts[i]+lens[i])
+        return _EMPTY.copy()
     offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
     idx = np.arange(total_w) - np.repeat(offs, lens) + np.repeat(starts, lens)
     w = col_idx[idx]
     anchors_rep = np.repeat(seed_u, lens)
 
-    # ...and probe (u, w) ∈ E via binary search over the packed sorted
-    # pair set (T1). Pack (u, w) into one int64 — valid while vids fit
-    # 31 bits, which holds for any per-partition relabeled id space; the
-    # engine's dictionary ids are compacted so this covers graphs to 2B
-    # vertices. (pairs are lexsorted, so packed keys are sorted.)
-    max_id = int(max(pairs.max(), w.max()))
-    assert max_id < (1 << 31), "vertex ids exceed 31 bits — repack kernel keys"
-    edge_keys = (pairs[:, 0] << 32) | pairs[:, 1]
+    # closure probe (T1): (u, w) ∈ T(u) via binary search on packed keys
     probe_keys = (anchors_rep << 32) | w
-    hit_pos = np.searchsorted(edge_keys, probe_keys)
-    hit_pos[hit_pos == len(edge_keys)] = 0
-    hits = edge_keys[hit_pos] == probe_keys
+    hit_pos = np.searchsorted(target_keys, probe_keys)
+    hit_pos[hit_pos == len(target_keys)] = 0
+    hits = target_keys[hit_pos] == probe_keys
 
     # per-anchor partial sums (T4): map-side combine inside the kernel
-    hit_anchors = anchors_rep[hits]
-    out_v, out_t = np.unique(hit_anchors, return_counts=True)
+    out_v, out_t = np.unique(anchors_rep[hits], return_counts=True)
     return pd.DataFrame({"v": out_v.astype(np.int64), "tri": out_t.astype(np.int64)})
 
 
@@ -223,15 +280,18 @@ def triangles_per_vertex_kernel(
 ) -> DataFrame:
     """Per-vertex triangle counts via the partitioned CSR kernel: ``v, tri``.
 
-    Pipeline (one wide shuffle + one applyInPandas shuffle):
+    Pipeline (adjacency-array shuffle + one applyInPandas shuffle):
       1. part(u) = pmod(xxhash64(u), k)  — deterministic hash partitioning
          (the reference's `random` node-parts file, P1).
-      2. anchor rows: each oriented edge tagged with its anchor's part.
-      3. halo rows: the adjacency list of every out-neighbor w, shipped to
-         every part that has an anchor edge into w (P4 halo expansion as a
-         join — duplicated per referencing part, exactly the reference's
-         halo materialization, but transient in the shuffle).
-      4. per-part numpy kernel (_count_partition).
+      2. one groupBy packs each vertex's sorted adjacency into an array
+         (C6 + the CSR payload) — every later movement ships one
+         Arrow-packed row per (vertex, group), never per edge.
+      3. halo rows: the adjacency array of every seed target, shipped to
+         every group whose seeds point at it (P4 halo expansion as a
+         join — duplicated per referencing group, exactly the reference's
+         halo materialization, but transient in the shuffle; distinct =
+         P5 halo dedupe).
+      4. per-group numpy kernel (_count_partition).
 
     Hub salting: anchors with out-degree > ``salt_threshold`` would make
     one group's probe work quadratic in the hub degree. Their wedge seeds
@@ -242,42 +302,52 @@ def triangles_per_vertex_kernel(
     if n_parts is None:
         n_parts = oriented.sparkSession.sparkContext.defaultParallelism
 
-    deg_out = oriented.groupBy("src").agg(F.count("*").alias("deg_out"))
-    e = oriented.join(deg_out, "src").withColumn(
-        "part",
-        F.when(
-            F.col("deg_out") > F.lit(salt_threshold),
-            # salted bucket id lives beside the hash part: (part, salt)
-            F.pmod(F.xxhash64("src"), F.lit(n_parts)) * F.lit(n_salts + 1)
-            + F.lit(1)
-            + F.pmod(F.xxhash64("dst"), F.lit(n_salts)),
-        ).otherwise(F.pmod(F.xxhash64("src"), F.lit(n_parts)) * F.lit(n_salts + 1)),
+    # one shuffle: oriented edges → sorted adjacency arrays + out-degree
+    # (C6 adjacency sort + the CSR payload, Arrow-packed one row per
+    # vertex — never per edge)
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs"),
+        F.count("*").alias("deg_out"),
     )
+    is_hub = F.col("deg_out") > F.lit(salt_threshold)
+    base_part = F.pmod(F.xxhash64("src"), F.lit(n_parts))
 
-    # Seeds: the anchor's out-edges, tagged with their (possibly salted)
-    # group. For salted hubs the seed set is split across groups but the
-    # hub's own adjacency must appear whole in every group it seeds —
-    # ship it as extra halo rows keyed by each group.
-    seeds = e.select("src", "dst", "part").withColumn("is_anchor", F.lit(True))
-
-    # Halo shipping: for every group, the adjacency lists of (a) every
-    # seed dst and (b) every salted hub src. distinct (vertex, part)
-    # demand set, then join back to the oriented edges.
-    demand_dst = seeds.select(F.col("dst").alias("hv"), "part")
-    hub_groups = (
-        e.where(F.col("deg_out") > F.lit(salt_threshold))
-        .select(F.col("src").alias("hv"), "part")
+    # seed rows: unsalted anchors carry full N+(u); salted hubs explode
+    # into n_salts bucket slices, each routed to its own group
+    unsalted = adj.where(~is_hub).select(
+        F.col("src").alias("v"),
+        (base_part * (n_salts + 1)).alias("part"),
+        F.col("nbrs").alias("seeds"),
+        F.lit(_K_SEED).alias("kind"),
     )
-    demand = demand_dst.unionByName(hub_groups).distinct()
-    adj = oriented.select(F.col("src").alias("hv"), F.col("dst").alias("adst"))
-    halo = (
-        demand.join(adj, "hv")
+    salted = (
+        adj.where(is_hub)
         .select(
-            F.col("hv").alias("src"),
-            F.col("adst").alias("dst"),
-            "part",
-            F.lit(False).alias("is_anchor"),
+            F.col("src").alias("v"),
+            base_part.alias("bp"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("b"),
+            "nbrs",
         )
+        .select(
+            "v",
+            (F.col("bp") * (n_salts + 1) + 1 + F.col("b")).alias("part"),
+            F.expr(f"filter(nbrs, x -> pmod(xxhash64(x), {n_salts}) = b)").alias("seeds"),
+            F.lit(_K_SEED_SALTED).alias("kind"),
+        )
+        .where(F.size("seeds") > 0)
+    )
+    seeds = unsalted.unionByName(salted)
+
+    # halo shipping (P4 as a join): each group needs the adjacency array
+    # of every vertex its seeds point at, plus every salted hub's own
+    # full adjacency (the intersection target) — distinct per group (P5)
+    demand = (
+        seeds.select(F.explode("seeds").alias("v"), "part")
+        .unionByName(salted.select("v", "part"))
+        .distinct()
+    )
+    halo = demand.join(adj.select(F.col("src").alias("v"), "nbrs"), "v").select(
+        "v", "part", F.col("nbrs").alias("seeds"), F.lit(_K_HALO).alias("kind")
     )
 
     rows = seeds.unionByName(halo)
