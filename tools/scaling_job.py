@@ -1,7 +1,8 @@
-"""One scaling measurement: run the headline jobs at a given core count.
+"""One scaling measurement: run ONE headline job at a given core count.
 
-Invoked by tools/scaling.py as a subprocess (fresh JVM per parallelism
-level). Prints one JSON line with per-job seconds.
+Invoked by tools/scaling.py as a subprocess — a fresh JVM per (job,
+level) measurement, so no job's GC/cache residue pollutes another's
+timing. Prints one JSON line: {"cpus": N, "job": name, "seconds": s, ...}.
 
 Input is the deterministic synthetic power-law web graph
 (sources/synth.py) — large enough that distributed compute dominates
@@ -14,7 +15,7 @@ FIXED across parallelism levels: identical plans and task sets, only the
 number of concurrent executor slots changes — the honest analog of the
 same job on N vs 4N executors.
 
-Timing excludes session startup and input materialization; each job's
+Timing excludes session startup and input materialization; the job's
 input is cached and counted before its timer starts.
 """
 
@@ -39,53 +40,59 @@ from trianglecount_spark.operators.triangles import (  # noqa: E402
 from trianglecount_spark.session import get_spark  # noqa: E402
 from trianglecount_spark.sources.synth import powerlaw_edges  # noqa: E402
 
-# (edges, vertices) per job family — sized so local[32] runs ~1-2 min
-BIG = (8_000_000, 100_000)      # tc_arrays / tc_join / pagerank
-SMALL = (3_000_000, 100_000)    # tc_kernel (reference-faithful, heavier)
+# (edges, vertices) per job — sized so local[32] runs ~1-2 min
+SIZES = {
+    "tc_arrays": (16_000_000, 200_000),
+    "tc_join": (4_000_000, 100_000),
+    "pagerank10": (32_000_000, 2_000_000),
+    "tc_kernel": (5_000_000, 100_000),
+}
 SHUFFLE_PARTITIONS = 64
 
 
 def main() -> None:
     cpus = int(sys.argv[1])
+    job = sys.argv[2]
+    n_edges, n_vertices = SIZES[job]
     spark = get_spark(
-        app_name=f"scaling-{cpus}", cores=cpus, shuffle_partitions=SHUFFLE_PARTITIONS
+        app_name=f"scaling-{job}-{cpus}",
+        cores=cpus,
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        # the JVM must SEE only N cores, or GC/JIT/common pools at
+        # local[8] silently use all host cores and flatter the low level
+        extra_confs={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
+        },
     )
-    out = {"cpus": cpus, "big_edges": BIG[0], "big_vertices": BIG[1],
-           "kernel_edges": SMALL[0], "kernel_vertices": SMALL[1]}
+    out = {"cpus": cpus, "job": job, "edges": n_edges, "vertices": n_vertices}
 
-    sym = canonicalize_edges(powerlaw_edges(spark, *BIG)).cache()
+    sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
     sym.count()
-    oriented = orient(sym).cache()
-    n_oriented = oriented.count()
-    out["n_oriented_edges"] = n_oriented
+    if job != "pagerank10":
+        oriented = orient(sym).cache()
+        out["n_oriented_edges"] = oriented.count()
+        sym.unpersist()
 
     t0 = time.time()
-    n_tri = triangle_count_arrays(oriented)
-    out["tc_arrays"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    n_tri_j = triangles_join(oriented, closure="broadcast").count()
-    out["tc_join"] = round(time.time() - t0, 3)
-    assert n_tri_j == n_tri, (n_tri_j, n_tri)
-    out["n_triangles"] = n_tri
-
-    t0 = time.time()
-    ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
-    ranks.count()
-    out["pagerank10"] = round(time.time() - t0, 3)
-    sym.unpersist()
-    oriented.unpersist()
-
-    o_small = orient(canonicalize_edges(powerlaw_edges(spark, *SMALL))).cache()
-    o_small.count()
-    t0 = time.time()
-    n_tri_k = (
-        triangles_per_vertex_kernel(o_small, n_parts=SHUFFLE_PARTITIONS)
-        .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
-        .collect()[0]["t"]
-    )
-    out["tc_kernel"] = round(time.time() - t0, 3)
-    out["n_triangles_kernel"] = int(n_tri_k)
+    if job == "tc_arrays":
+        out["n_triangles"] = triangle_count_arrays(oriented)
+    elif job == "tc_join":
+        # shuffle closure: the broadcast build is a serial driver-side
+        # step that caps measured scaling; the all-shuffle plan is the
+        # form whose scaling the two-cluster criterion constrains
+        out["n_triangles"] = triangles_join(oriented, closure="shuffle").count()
+    elif job == "tc_kernel":
+        out["n_triangles"] = int(
+            triangles_per_vertex_kernel(oriented, n_parts=SHUFFLE_PARTITIONS)
+            .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        )
+    elif job == "pagerank10":
+        ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
+        ranks.count()
+    else:
+        raise SystemExit(f"unknown job {job}")
+    out["seconds"] = round(time.time() - t0, 3)
 
     print(json.dumps(out))
     spark.stop()
