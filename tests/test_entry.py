@@ -21,9 +21,19 @@ def test_queries_registry_shape(spark):
     assert len(qs) >= 20
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
-    # iterative ops are intentionally rows-only
+    # only genuinely non-SQL-expressible ops may be rows-only (iterative algos,
+    # approximate ANN variants, stubbed multimodal featurizers)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"pagerank_copurchase", "components_copurchase", "lpa_copurchase"}
+    allowed_rows_only = {
+        "pagerank_copurchase",
+        "components_copurchase",
+        "lpa_copurchase",
+        "web_pagerank",
+        "emb_knn_lsh",
+        "emb_knn_ivf",
+        "media_features",
+    }
+    assert rows_only <= allowed_rows_only, rows_only - allowed_rows_only
 
 
 def test_one_query_runs(spark):
