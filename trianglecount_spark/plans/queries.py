@@ -275,6 +275,49 @@ def q_lpa_copurchase(spark, sf_dir):
     return labels
 
 
+# --- iterative, EXACTLY oracle-checked ---
+
+
+def q_pagerank_exact10(spark, sf_dir):
+    """10 fixed PageRank rounds with an exact DuckDB oracle.
+
+    The oracle is the SAME power iteration unrolled as 10 chained CTEs
+    (``_pagerank_sql``): identical damping, identical missing-mass
+    closure. Ranks are scaled by N (mean 1.0) and rounded to 5 decimals
+    so both engines' double-precision group sums format identically.
+    """
+    sym = copurchase_sym(spark, sf_dir)
+    n = sym.select(F.col("src").alias("v")).distinct().count()
+    ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
+    return ranks.select(
+        "v", F.round(F.col("rank") * F.lit(float(n)), 5).alias("rank_n")
+    )
+
+
+def nation_clique_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations sharing a region: 5 disjoint 5-cliques — the smallest real
+    table whose component/label structure is closed-form in SQL."""
+    na = _t(spark, sf_dir, "nation")
+    a = na.select(F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("src"))
+    b = na.select(F.col("n_regionkey").alias("r"), F.col("n_nationkey").alias("dst"))
+    return a.join(b, "r").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def q_components_nation(spark, sf_dir):
+    """Large-star/small-star CC, exactly oracle-checked: on disjoint
+    cliques the component label (min member id) is a window MIN."""
+    comp, _ = connected_components(nation_clique_edges(spark, sf_dir))
+    return comp
+
+
+def q_lpa_nation(spark, sf_dir):
+    """Synchronous LPA, exactly oracle-checked: on a clique the
+    deterministic (freq desc, label asc) rule converges every member to
+    the clique minimum — same closed form as CC."""
+    labels, _ = label_propagation(nation_clique_edges(spark, sf_dir), max_iter=10)
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # relational / windowed queries (engine breadth)
 # ---------------------------------------------------------------------------
@@ -680,6 +723,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": q_pagerank_copurchase,
         "components_copurchase": q_components_copurchase,
         "lpa_copurchase": q_lpa_copurchase,
+        "pagerank_exact10": q_pagerank_exact10,
+        "components_nation": q_components_nation,
+        "lpa_nation": q_lpa_nation,
         "lineitem_agg": q_lineitem_agg,
         "events_sessions": q_events_sessions,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -707,6 +753,38 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sw_pred(col: str, words: list[str]) -> str:
     return "(" + " OR ".join(f"{col} = '{w}'" for w in words) + ")"
+
+
+def _pagerank_sql(k: int = 10, alpha: float = 0.85) -> str:
+    """The engine's PageRank (operators/pagerank.py) unrolled as ``k``
+    chained CTEs over the copurchase symmetric edge table — identical
+    damping and missing-mass closure, all arithmetic in DOUBLE (DuckDB
+    decimal literals are cast explicitly so both engines run the same
+    IEEE-754 ops). Final ranks scaled by N and rounded to 5 decimals."""
+    # AS MATERIALIZED: DuckDB otherwise inlines every CTE reference, and
+    # the chain re-expands the whole copurchase derivation 2^k times.
+    ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        "ew AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY src)) AS w FROM und)",
+        "pr0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT e.dst AS v, CAST({alpha} AS DOUBLE) * sum(p.rank * e.w) AS rt "
+            f"FROM ew e JOIN pr{i - 1} p ON p.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT verts.v, COALESCE(t{i}.rt, 0) + "
+            f"(CAST(1.0 AS DOUBLE) - (SELECT sum(rt) FROM t{i})) / (SELECT c FROM nn) AS rank "
+            f"FROM verts LEFT JOIN t{i} ON t{i}.v = verts.v)"
+        )
+    return (
+        _CP
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, round(rank * (SELECT c FROM nn), 5) AS rank_n FROM pr{k}"
+    )
 
 
 def oracle() -> dict[str, str]:
@@ -766,6 +844,15 @@ o AS (
 )
 """
         + tri_sql,
+        "pagerank_exact10": _pagerank_sql(10),
+        "components_nation": (
+            "SELECT n_nationkey AS v, "
+            "min(n_nationkey) OVER (PARTITION BY n_regionkey) AS comp FROM nation"
+        ),
+        "lpa_nation": (
+            "SELECT n_nationkey AS v, "
+            "min(n_nationkey) OVER (PARTITION BY n_regionkey) AS label FROM nation"
+        ),
         "events_edges": _EV + "SELECT src, dst FROM p",
         "events_triangle_total": _EV
         + (
