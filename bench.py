@@ -78,7 +78,9 @@ def main() -> None:
 
     t0 = time.time()
     n_iter = 10
-    ranks, _log = pagerank(sym, tol=0.0, max_iter=n_iter, check_every=n_iter)
+    ranks, _log = pagerank(
+        sym, tol=0.0, max_iter=n_iter, check_every=n_iter, dangling_free=True
+    )
     ranks.count()
     timings["pagerank10"] = round(time.time() - t0, 3)
     derived["pagerank_iters_per_min"] = round(n_iter / (timings["pagerank10"] / 60.0), 2)

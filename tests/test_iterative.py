@@ -91,6 +91,20 @@ def test_pagerank_allclose_numpy(spark, name):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_dangling_free_matches_default(spark):
+    # symmetric graph ⇒ no dangling vertices ⇒ the one-job-per-round
+    # fast path must agree with the missing-mass-closure path to FP noise
+    raw, _ = GOLDEN["bowtie"]
+    sym = canonicalize_edges(edges_df(spark, raw))
+    a, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
+    b, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10, dangling_free=True)
+    ga = {r.v: r.rank for r in a.collect()}
+    gb = {r.v: r.rank for r in b.collect()}
+    assert set(ga) == set(gb)
+    for v in ga:
+        assert abs(ga[v] - gb[v]) < 1e-12, (v, ga[v], gb[v])
+
+
 @pytest.mark.parametrize("name", ["two_tris", "path6", "hub"])
 def test_components_both_strategies(spark, name):
     raw, _ = GOLDEN[name]

@@ -17,6 +17,8 @@ same job on N vs 4N executors.
 
 Timing excludes session startup and input materialization; the job's
 input is cached and counted before its timer starts.
+
+Usage: scaling_job.py <cpus> <job> <n_edges> <n_vertices>
 """
 
 from __future__ import annotations
@@ -40,26 +42,20 @@ from trianglecount_spark.operators.triangles import (  # noqa: E402
 from trianglecount_spark.session import get_spark  # noqa: E402
 from trianglecount_spark.sources.synth import powerlaw_edges  # noqa: E402
 
-# (edges, vertices) per job — sized so local[32] runs ~1-2 min
-SIZES = {
-    "tc_arrays": (16_000_000, 200_000),
-    "tc_join": (4_000_000, 100_000),
-    "pagerank10": (32_000_000, 2_000_000),
-    "tc_kernel": (5_000_000, 100_000),
-}
 SHUFFLE_PARTITIONS = 64
 
 
 def main() -> None:
     cpus = int(sys.argv[1])
     job = sys.argv[2]
-    n_edges, n_vertices = SIZES[job]
+    n_edges = int(sys.argv[3])
+    n_vertices = int(sys.argv[4])
     spark = get_spark(
         app_name=f"scaling-{job}-{cpus}",
         cores=cpus,
         shuffle_partitions=SHUFFLE_PARTITIONS,
         # the JVM must SEE only N cores, or GC/JIT/common pools at
-        # local[8] silently use all host cores and flatter the low level
+        # the low level silently use all host cores and flatter it
         extra_confs={
             "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}"
         },
@@ -88,7 +84,8 @@ def main() -> None:
             .collect()[0]["t"]
         )
     elif job == "pagerank10":
-        ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
+        # the symmetric input is dangling-free: one job per round
+        ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10, dangling_free=True)
         ranks.count()
     else:
         raise SystemExit(f"unknown job {job}")

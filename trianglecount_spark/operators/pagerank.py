@@ -42,6 +42,7 @@ def pagerank(
     check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
+    dangling_free: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
     """PageRank over a *directed* edge table ``src, dst``.
 
@@ -49,6 +50,13 @@ def pagerank(
     edge table from ``canonicalize_edges``. Returns (``v, rank``, log);
     ranks sum to 1. ``tol`` is the L1 delta across a ``check_every``-round
     window (conservative vs per-round delta).
+
+    ``dangling_free=True`` asserts every vertex has at least one
+    out-edge (always true for a symmetric edge table): the undelivered
+    mass is then exactly ``1 - alpha``, so the per-round scalar-sum
+    action disappears and each round is a single job (one shuffle join +
+    one agg + the checkpoint). Do NOT set it on directed graphs with
+    sinks — their teleport share would be silently dropped.
     """
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -74,6 +82,16 @@ def pagerank(
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
+        if dangling_free:
+            # undelivered mass is exactly (1 - alpha): pure plan
+            # transform, iterate()'s checkpoint is the round's only job
+            return verts.join(contribs, "v", "left").select(
+                "v",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit((1.0 - alpha) / n)
+                ).alias("rank"),
+            )
         tilde = (
             verts.join(contribs, "v", "left")
             .select(
