@@ -104,8 +104,12 @@ def main() -> None:
             # build is a serial driver-side step)
             out["n_triangles"] = triangles_join(oriented, closure="shuffle").count()
         elif job == "tc_kernel":
+            # 4x the shuffle partitions: the kernel's per-group numpy work
+            # is lumpier than row-level stages, finer groups balance the
+            # python workers (measured: 32s -> 14.8s at local[8] on the
+            # 8M-edge input). Held FIXED across parallelism levels.
             out["n_triangles"] = int(
-                triangles_per_vertex_kernel(oriented, n_parts=SHUFFLE_PARTITIONS)
+                triangles_per_vertex_kernel(oriented, n_parts=4 * SHUFFLE_PARTITIONS)
                 .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
                 .collect()[0]["t"]
             )
