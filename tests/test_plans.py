@@ -60,17 +60,11 @@ def test_registry_oracle_consistency():
     orc = oracle()
     # every oracle key must be a registered query
     assert set(orc) <= set(reg), set(orc) - set(reg)
-    # only iterative (non-SQL-expressible) queries may omit an oracle
+    # r2: EVERY registered query has an exact oracle (the r1 rows-only
+    # gaps were closed with recursive/unrolled CTEs and portable integer
+    # LSH/IVF/featurizer arithmetic)
     rows_only = set(reg) - set(orc)
-    assert rows_only == {
-        "pagerank_copurchase",
-        "components_copurchase",
-        "lpa_copurchase",
-        "web_pagerank",
-        "emb_knn_lsh",
-        "emb_knn_ivf",
-        "media_features",
-    }, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_web_pipeline_end_to_end(spark):

@@ -88,3 +88,27 @@ def test_per_vertex_sums_to_total(spark):
         pv = triangles_per_vertex_join(o)
         total = sum(r.tri for r in pv.collect())
         assert total == GOLDEN[name][1], name
+
+
+def test_kernel_huge_ids_relabel_path(spark):
+    # ids beyond 2^31 force the kernel's dense local relabel (the r1
+    # packed-key form asserted out at 31 bits — a 10^12-vertex web graph
+    # exceeds it); totals must be unchanged
+    base = 1 << 40
+    raw, want = GOLDEN["k4"]
+    shifted = [(base + a, base + b) for a, b in raw]
+    o = orient(canonicalize_edges(edges_df(spark, shifted)))
+    assert triangle_count_kernel(o, n_parts=2) == want
+    pv = {r.v - base: r.tri for r in triangles_per_vertex_kernel(o, n_parts=2).collect()}
+    ref = {r.v - base: r.tri for r in triangles_per_vertex_join(o).collect()}
+    assert pv == ref
+
+
+def test_kernel_huge_ids_salted(spark):
+    base = 3 << 40
+    raw, want = GOLDEN["hub"]
+    shifted = [(base + a, base + b) for a, b in raw]
+    o = orient(canonicalize_edges(edges_df(spark, shifted)))
+    assert (
+        triangle_count_kernel(o, n_parts=4, salt_threshold=5, n_salts=4) == want
+    )

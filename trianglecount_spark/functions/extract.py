@@ -95,14 +95,19 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
 
     The dictionary covers both link endpoints (a dst_url may point at a
     page outside the crawl — it still becomes a vertex, mirroring how a
-    real web graph has edges into uncrawled urls)."""
-    from trianglecount_spark.operators.canonicalize import vertex_dictionary
+    real web graph has edges into uncrawled urls).
+
+    Uses the two-phase ``vertex_dictionary_scalable`` (range partition +
+    per-partition numbering + offset cumsum): same key → sorted-rank
+    mapping as the window form, but no single-task global window — the
+    r1 flagship path funneled 10^12 urls through one task here."""
+    from trianglecount_spark.operators.canonicalize import vertex_dictionary_scalable
 
     raw = extract_links(pages)
     urls = raw.select(F.col("src_url").alias("url")).unionByName(
         raw.select(F.col("dst_url").alias("url"))
     )
-    vertices = vertex_dictionary(urls, "url")
+    vertices = vertex_dictionary_scalable(urls, "url")
     e = (
         raw.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
         .withColumnRenamed("vid", "src")

@@ -102,6 +102,14 @@ def vertex_dictionary_scalable(keys: DataFrame, key_col: str = "url") -> DataFra
     single task: range-partition by key, number within partitions, then
     add per-partition offsets (computed from partition sizes, a tiny
     driver-side cumsum).
+
+    The output mapping is exactly key → global sorted rank (identical to
+    ``vertex_dictionary``): range boundaries only decide WHERE a key is
+    numbered, never its final id, so the result is deterministic under
+    retries and independent of the sampled range split.
+
+    ``numbered`` is consumed twice (size collect + final join) — it is
+    persisted so the range shuffle and numbering kernel run once.
     """
     distinct = keys.select(key_col).distinct().repartitionByRange(F.col(key_col))
 
@@ -123,7 +131,7 @@ def vertex_dictionary_scalable(keys: DataFrame, key_col: str = "url") -> DataFra
 
     numbered = distinct.mapInPandas(
         number_partition, schema=f"{key_col} string, part_id int, local_rn long"
-    )
+    ).persist()
     sizes = numbered.groupBy("part_id").agg(F.count("*").alias("n")).collect()
     offsets = {}
     acc = 0
@@ -131,7 +139,7 @@ def vertex_dictionary_scalable(keys: DataFrame, key_col: str = "url") -> DataFra
         offsets[r["part_id"]] = acc
         acc += r["n"]
     off_df = numbered.sparkSession.createDataFrame(
-        [(p, o) for p, o in offsets.items()], "part_id int, offset long"
+        [(p, o) for p, o in offsets.items()] or [(0, 0)], "part_id int, offset long"
     )
     return (
         numbered.join(F.broadcast(off_df), "part_id")

@@ -18,8 +18,9 @@ Arrow-batched where noted):
 - ``simhash64``          — 64-bit SimHash from md5-derived token bits,
                            computed with JVM bit ops; near-dup pairs by
                            Hamming distance ≤ k over band-join buckets.
-- ``embedding_neardup``  — cosine near-dup pairs over array<float>
-                           embeddings (see knn.py for the ANN variants).
+
+Embedding-cosine near-dup lives in ``operators/knn.py``
+(``cosine_allpairs_blocked`` exact, ``cosine_topk_lsh`` approximate).
 """
 
 from __future__ import annotations

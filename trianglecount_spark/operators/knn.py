@@ -1,34 +1,57 @@
 """Similarity search over embedding columns (``array<float>``).
 
-- ``cosine_topk_bruteforce`` — exact top-k by cosine: cross join +
-  JVM-side ``aggregate``/``zip_with`` dot products (no Python). The
-  correctness baseline; O(Q·N·d) — fine for Q small or N ≤ ~10^5.
+- ``cosine_topk_bruteforce`` — exact top-k by cosine. The query set is
+  collected to the driver (a probe set — ~10²–10⁴ rows; the corpus is
+  the big side and never leaves the executors), broadcast into an
+  Arrow-batched ``mapInPandas`` kernel that computes a numpy float64
+  matmul per corpus batch and keeps the per-batch top-k, then a global
+  top-k merge over the ≤ n_batches·Q·k survivors. No cross join, no
+  per-element SQL lambdas — the O(Q·N·d) flops run as BLAS.
 
-- ``cosine_topk_lsh`` — random-hyperplane LSH: project every vector on
-  ``n_planes`` deterministic hyperplanes (derived from a seeded
-  Philox generator, broadcast as a literal matrix inside the Arrow
-  batch kernel), bucket by sign pattern, search only within matching
-  buckets (multi-probe over ``n_tables`` independent tables). The
-  scale path: the bucket join replaces the cross join, turning
-  O(N²·d) into O(N·B·d) for average bucket size B.
+- ``cosine_allpairs_blocked`` — exact all-pairs cosine ≥ threshold
+  (embedding near-dup). Vectors are hash-assigned to B blocks, each
+  block packed into ONE Arrow row; the B·(B+1)/2 block *pairs* fan out
+  across the cluster and each task runs one numpy matmul. O(N²·d) flops
+  (it is exact), but distributed over B² tasks with vectorized math —
+  the correctness-gated form. The sub-quadratic scale path for near-dup
+  is ``cosine_topk_lsh`` / SimHash banding (operators/dedup.py).
 
-- ``ivf_topk`` — IVF-style variant: k-means-lite centroids (sampled,
-  one refinement pass), assign every vector to nearest centroid,
-  probe the ``n_probe`` nearest centroids per query.
+- ``cosine_topk_lsh`` — random-hyperplane LSH with PORTABLE integer
+  arithmetic: hyperplane entries are Rademacher ±1 signs derived from
+  md5 strings, vectors are quantized to integers (floor(v·1000)), so a
+  bucket is a sum of int64 products — order-independent and therefore
+  bit-identical in any engine (the DuckDB oracle reproduces the buckets
+  exactly; no RNG, no float-summation-order divergence). Candidate
+  pairs come from a (table, bucket) equi-join; exact cosines are then
+  computed only on candidates with the JVM ``aggregate`` expression.
 
-The vector math inside kernels is numpy matmul over Arrow batches —
-the sanctioned slow path (vectorized pandas UDF), never per-row Python.
+- ``ivf_topk`` — IVF ANN with the same portability discipline: seed
+  centroids are the ``n_centroids`` vectors with smallest
+  md5(vec_id), one Lloyd refinement pass runs in integer space
+  (floor of the elementwise mean of quantized members), assignment is
+  argmax of integer dot products (ties → lowest centroid index), and
+  queries probe the ``n_probe`` nearest centroid lists.
+
+Reference parity: the reference has no ANN operators — these are the
+training-data-pipeline extensions (driver brief), designed Spark-first.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+QUANT_SCALE = 1000.0  # integer quantization grid for portable LSH/IVF
+
 
 def _cosine_expr(qv: str = "qv", cv: str = "cv"):
+    """JVM-side cosine via aggregate/zip_with — left-to-right summation,
+    used on SMALL candidate sets only (ranking stability vs the DuckDB
+    oracle comes from both engines summing in the same order)."""
     dot = (
         f"aggregate(zip_with({qv}, {cv}, (x, y) -> cast(x AS double) * cast(y AS double)),"
         " cast(0.0 AS double), (acc, z) -> acc + z)"
@@ -44,6 +67,11 @@ def _cosine_expr(qv: str = "qv", cv: str = "cv"):
     return F.expr(f"({dot}) / (({nq}) * ({nc}))")
 
 
+def _topk(sims: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("nbr").asc())
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -51,49 +79,181 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k: ``q, nbr, sim`` (excludes self-matches)."""
-    q = queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("nbr"), F.col(vec_col).alias("cv"))
-    sims = (
-        q.crossJoin(c)
-        .where(F.col("q") != F.col("nbr"))
-        .select("q", "nbr", _cosine_expr().alias("sim"))
+    """Exact top-k: ``q, nbr, sim`` (excludes self-matches).
+
+    Physical shape: collect Q query vectors (driver-side probe set),
+    one narrow mapInPandas pass over the corpus (numpy matmul + partial
+    top-k per Arrow batch), then a global top-k over the small survivor
+    set. The corpus scan parallelizes perfectly and ships k·Q rows per
+    batch, never the N·Q similarity matrix.
+    """
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        schema = "q long, nbr long, sim double"
+        return queries.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    q_ids_l = q_ids.tolist()
+    Qn_l = Qn.tolist()
+
+    def partial(it):
+        qid = np.asarray(q_ids_l, dtype=np.int64)
+        Qm = np.asarray(Qn_l)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            S = Qm @ Cn.T  # (Q, B)
+            # self-match mask
+            S[qid[:, None] == cid[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            # per-batch top-k per query (ties by nbr asc: stable resolve
+            # happens in the exact global window; superset here suffices
+            # as long as we keep everything tied with the k-th value)
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            kth = S[np.arange(len(qid))[:, None], part].min(axis=1)
+            keep_q, keep_c = np.where(S >= kth[:, None])
+            sims = S[keep_q, keep_c]
+            ok = np.isfinite(sims)
+            yield pd.DataFrame(
+                {
+                    "q": qid[keep_q[ok]],
+                    "nbr": cid[keep_c[ok]],
+                    "sim": sims[ok],
+                }
+            )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        partial, schema="q long, nbr long, sim double"
     )
-    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("nbr").asc())
-    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")
+    return _topk(partials, k)
 
 
-def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
-    rng = np.random.Generator(np.random.Philox(key=seed, counter=[0, 0, 0, 0]))
-    return rng.standard_normal((n_tables, n_planes, dim))
-
-
-def _bucket_df(
-    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, out_id: str
+def cosine_allpairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_blocks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
 ) -> DataFrame:
-    n_tables, n_planes, dim = planes.shape
-    planes_list = planes.tolist()
+    """Exact cosine near-dup pairs ``a, b, sim`` (a < b, round(sim) ≥
+    threshold). Blocked all-pairs: every vector lands in one of
+    ``n_blocks`` hash blocks, each block travels as ONE packed Arrow
+    row, and the B·(B+1)/2 unordered block pairs each run one numpy
+    matmul task. Exactness is blocking-invariant (every pair appears in
+    exactly one block pair)."""
+    packed = df.groupBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk")
+    ).agg(
+        F.collect_list(id_col).alias("ids"),
+        F.collect_list(vec_col).alias("vecs"),
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def emit(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ia = np.asarray(row["ids_a"], dtype=np.int64)
+                ib = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["vecs_a"]])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["vecs_b"]])
+                A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+                B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+                S = np.round(A @ B.T, round_to)
+                ii, jj = np.where(S >= threshold)
+                if not len(ii):
+                    continue
+                pa, pb, ps = ia[ii], ib[jj], S[ii, jj]
+                keep = pa != pb
+                lo = np.minimum(pa, pb)[keep]
+                hi = np.maximum(pa, pb)[keep]
+                yield pd.DataFrame({"a": lo, "b": hi, "sim": ps[keep]})
+
+    out = pairs.mapInPandas(emit, schema="a long, b long, sim double")
+    # a pair inside one block (blk_a == blk_b) is emitted once by the
+    # single (blk, blk) task; cross-block pairs once by (min, max) task —
+    # no duplicates by construction.
+    return out
+
+
+# ---------------------------------------------------------------------------
+# portable (engine-reproducible) LSH
+# ---------------------------------------------------------------------------
+
+
+def _rademacher_sign(tag: str) -> int:
+    """+1/-1 from the first hex digit of md5(tag) — reproducible in any
+    engine with md5 (DuckDB: strpos('01234567', substring(md5(tag),1,1)))."""
+    return 1 if hashlib.md5(tag.encode()).hexdigest()[0] in "01234567" else -1
+
+
+def rademacher_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """(T, P, D) matrix of ±1 signs, entry (t,p,d) from md5('t|p|d')."""
+    return np.array(
+        [
+            [[_rademacher_sign(f"{t}|{p}|{d}") for d in range(dim)] for p in range(n_planes)]
+            for t in range(n_tables)
+        ],
+        dtype=np.int64,
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """``id, table, bucket, vec`` — one row per (vector, table).
+
+    bucket bit p of table t = [ Σ_d sign(t,p,d) · floor(v_d·1000) > 0 ].
+    All-integer: the sum is order-independent, so numpy here and SQL in
+    an oracle produce identical buckets (no float summation divergence).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = rademacher_planes(dim, n_planes, n_tables)
+    planes_l = planes.tolist()
+    n_t, n_p = n_tables, n_planes
 
     def assign(it):
-        H = np.asarray(planes_list)  # (T, P, D)
+        H = np.asarray(planes_l, dtype=np.int64)  # (T, P, D)
         for pdf in it:
-            vecs = np.stack(pdf[vec_col].to_numpy())  # (N, D)
-            ids = pdf[id_col].to_numpy()
-            rows = {"id": [], "table": [], "bucket": [], "vec": []}
-            for t in range(n_tables):
-                signs = (vecs @ H[t].T) > 0  # (N, P)
-                buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-                rows["id"].extend(ids.tolist())
-                rows["table"].extend([t] * len(ids))
-                rows["bucket"].extend(buckets.tolist())
-                rows["vec"].extend(pdf[vec_col].tolist())
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            IV = np.floor(V * QUANT_SCALE).astype(np.int64)  # (N, D)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            frames = []
+            for t in range(n_t):
+                bits = (IV @ H[t].T) > 0  # (N, P)
+                buckets = (bits * (1 << np.arange(n_p, dtype=np.int64))).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": ids,
+                            "table": t,
+                            "bucket": buckets,
+                            "vec": pdf[vec_col].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
 
-    out = df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
-        assign, schema=f"id long, table int, bucket long, vec array<float>"
-    )
-    return out.select(
-        F.col("id").alias(out_id), "table", "bucket", F.col("vec")
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema="id long, table int, bucket long, vec array<float>"
     )
 
 
@@ -105,15 +265,19 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_tables: int = 4,
-    seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH bucket join."""
+    """Approximate top-k via the portable-LSH bucket join: candidates
+    from any shared (table, bucket), exact cosine (JVM aggregate — the
+    small candidate set only) + global top-k."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    qb = _bucket_df(queries, id_col, vec_col, planes, "q").withColumnRenamed("vec", "qv")
-    cb = _bucket_df(corpus, id_col, vec_col, planes, "nbr").withColumnRenamed("vec", "cv")
+    qb = lsh_buckets(queries, id_col, vec_col, n_planes, n_tables, dim).select(
+        F.col("id").alias("q"), "table", "bucket", F.col("vec").alias("qv")
+    )
+    cb = lsh_buckets(corpus, id_col, vec_col, n_planes, n_tables, dim).select(
+        F.col("id").alias("nbr"), "table", "bucket", F.col("vec").alias("cv")
+    )
     cand = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("q") != F.col("nbr"))
@@ -121,8 +285,93 @@ def cosine_topk_lsh(
         .dropDuplicates(["q", "nbr"])
     )
     sims = cand.select("q", "nbr", _cosine_expr().alias("sim"))
-    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("nbr").asc())
-    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")
+    return _topk(sims, k)
+
+
+# ---------------------------------------------------------------------------
+# portable IVF
+# ---------------------------------------------------------------------------
+
+
+def _quantize_expr(vec_col: str):
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_passes: int = 1,
+) -> np.ndarray:
+    """Integer centroid matrix (n_centroids, D), fully deterministic and
+    engine-reproducible:
+      seeds   = quantized vectors of the n_centroids ids with smallest
+                md5(CAST(id AS STRING)) (portable pseudo-random sample);
+      assign  = argmax of integer dot (ties → lowest centroid index);
+      refine  = ``lloyd_passes`` rounds of elementwise
+                floor(mean(quantized members)) — the distributed Lloyd
+                step, one groupBy per pass (empty clusters keep their
+                previous centroid).
+    """
+    seeds = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(_quantize_expr(vec_col).alias("iv"))
+        .collect()
+    )
+    C = np.stack([np.asarray(r["iv"], dtype=np.int64) for r in seeds])
+    for _ in range(lloyd_passes):
+        assigned = _assign_nearest(corpus, C, id_col, vec_col, topn=1)
+        means = (
+            assigned.select("cent", F.posexplode("iv").alias("d", "x"))
+            .groupBy("cent", "d")
+            .agg(F.floor(F.avg("x")).cast("long").alias("m"))
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            newC[r["cent"], r["d"]] = r["m"]
+        C = newC
+    return C
+
+
+def _assign_nearest(
+    df: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    topn: int,
+) -> DataFrame:
+    """``id, cent, iv, vec`` rows: each vector's ``topn`` nearest
+    centroids by INTEGER dot product (desc, centroid index asc)."""
+    cents_l = cents.tolist()
+
+    def nearest(it):
+        C = np.asarray(cents_l, dtype=np.int64)  # (K, D)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            IV = np.floor(V * QUANT_SCALE).astype(np.int64)
+            dots = IV @ C.T  # (N, K) int64
+            # argsort by (-dot, cent asc): lexsort on (cent, -dot)
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :topn]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), topn),
+                    "cent": order.ravel(),
+                    "iv": list(IV[np.repeat(np.arange(n), topn)]),
+                    "vec": pdf[vec_col].iloc[np.repeat(np.arange(n), topn)].to_numpy(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        nearest, schema="id long, cent int, iv array<long>, vec array<float>"
+    )
 
 
 def ivf_topk(
@@ -133,40 +382,19 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
+    lloyd_passes: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: deterministic sampled centroids + one Lloyd pass,
-    bucket corpus by nearest centroid, probe n_probe lists per query."""
-    # deterministic "sample": lowest ids as seeds (data-independent order)
-    seeds = (
-        corpus.orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)))
-        .limit(n_centroids)
-        .select(F.col(vec_col).alias("c"))
-        .collect()
+    """IVF ANN: deterministic seeds + ``lloyd_passes`` integer Lloyd
+    refinements (see ``ivf_centroids``), corpus bucketed by nearest
+    centroid, queries probe the ``n_probe`` nearest lists; exact cosine
+    on candidates, global top-k."""
+    C = ivf_centroids(corpus, n_centroids, id_col, vec_col, lloyd_passes)
+    c_assign = _assign_nearest(corpus, C, id_col, vec_col, topn=1).select(
+        F.col("id").alias("nbr"), "cent", F.col("vec").alias("cv")
     )
-    cents = np.stack([np.asarray(r["c"], dtype=np.float64) for r in seeds])
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    cents_list = cents.tolist()
-
-    def nearest(it, topn: int):
-        C = np.asarray(cents_list)
-        for pdf in it:
-            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = (vecs / np.maximum(norms, 1e-12)) @ C.T
-            order = np.argsort(-sims, axis=1)[:, :topn]
-            ids = np.repeat(pdf[id_col].to_numpy(), topn)
-            vec_rep = pdf[vec_col].iloc[np.repeat(np.arange(len(pdf)), topn)]
-            yield pd.DataFrame(
-                {"id": ids, "cent": order.ravel(), "vec": vec_rep.to_list()}
-            )
-
-    c_assign = corpus.select(id_col, vec_col).mapInPandas(
-        lambda it: nearest(it, 1), schema="id long, cent int, vec array<float>"
-    ).select(F.col("id").alias("nbr"), "cent", F.col("vec").alias("cv"))
-    q_assign = queries.select(id_col, vec_col).mapInPandas(
-        lambda it: nearest(it, n_probe), schema="id long, cent int, vec array<float>"
-    ).select(F.col("id").alias("q"), "cent", F.col("vec").alias("qv"))
+    q_assign = _assign_nearest(queries, C, id_col, vec_col, topn=n_probe).select(
+        F.col("id").alias("q"), "cent", F.col("vec").alias("qv")
+    )
     cand = (
         q_assign.join(c_assign, "cent")
         .where(F.col("q") != F.col("nbr"))
@@ -174,5 +402,4 @@ def ivf_topk(
         .select("q", "nbr", "qv", "cv")
     )
     sims = cand.select("q", "nbr", _cosine_expr().alias("sim"))
-    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("nbr").asc())
-    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k).drop("rk")
+    return _topk(sims, k)

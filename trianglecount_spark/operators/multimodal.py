@@ -49,19 +49,23 @@ def decode_image(media: DataFrame) -> DataFrame:
 
 
 def fake_image_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Deterministic fake 'decoder': payload bytes → unit feature vector
-    derived from sha256, exercising the exact Arrow batch shape a real
-    CNN/CLIP featurizer would use. ``media_id, kind, features``."""
+    """Deterministic fake 'decoder': payload bytes → feature vector in
+    [0, 1), exercising the exact Arrow batch shape a real CNN/CLIP
+    featurizer would use. ``media_id, kind, features``.
+
+    feature[i] = u32le(sha256(payload) repeated, bytes 4i..4i+3) / 2³²
+    — every arithmetic step (u32 assembly, division by a power of two,
+    float32 cast) is exact-or-correctly-rounded and order-independent,
+    so any engine with sha256 reproduces the values bit-for-bit (the
+    driver gate's DuckDB oracle does)."""
 
     def run(it):
         for pdf in it:
             feats = []
             for b in pdf["payload"]:
                 h = hashlib.sha256(bytes(b)).digest()
-                v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-                v = v.astype(np.float64)
-                v = v / np.linalg.norm(v)
-                feats.append(v.astype(np.float32).tolist())
+                v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4")
+                feats.append((v.astype(np.float64) / 2**32).astype(np.float32).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

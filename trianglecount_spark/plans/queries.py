@@ -146,6 +146,12 @@ _STOPWORDS = {
 _MH_H = 8
 _MH_R = 2
 
+# portable-ANN configs shared by the Spark query and the DuckDB oracle
+_LSH_P = 8   # planes (bucket bits) per table
+_LSH_T = 4   # independent tables
+_IVF_K = 16  # centroids
+_IVF_PROBE = 4
+
 # SimHash oracle: 60-bit hash from the first 15 hex chars of md5(token),
 # per-bit ±cnt votes — mirrors operators/dedup.simhash64 exactly.
 _SIMHASH = """
@@ -257,20 +263,36 @@ def q_events_triangle_total(spark, sf_dir):
     return triangles_join(orient(sym)).agg(F.count("*").alias("n_triangles"))
 
 
-# --- iterative (rows-only: no closed-form SQL) ---
+# --- iterative, all EXACTLY oracle-checked (r2: the r1 rows-only gaps) ---
 
 
 def q_pagerank_copurchase(spark, sf_dir):
-    ranks, _ = pagerank(copurchase_sym(spark, sf_dir), tol=1e-6, max_iter=30)
-    return ranks.select("v", F.round("rank", 9).alias("rank"))
+    """30 fixed PageRank rounds (the cluster-deterministic production
+    configuration; convergence mode ``tol>0`` is pytest-covered against
+    a NumPy oracle in tests/test_iterative.py). Oracle: the same power
+    iteration unrolled as 30 MATERIALIZED CTEs."""
+    sym = copurchase_sym(spark, sf_dir)
+    n = sym.select(F.col("src").alias("v")).distinct().count()
+    ranks, _ = pagerank(sym, tol=0.0, max_iter=30, check_every=30)
+    return ranks.select(
+        "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
+    )
 
 
 def q_components_copurchase(spark, sf_dir):
+    """Large-star/small-star CC on the full copurchase graph. Oracle: a
+    DuckDB RECURSIVE CTE computing min-reachable-vertex per vertex —
+    independent formulation, exact comparison."""
     comp, _ = connected_components(copurchase_sym(spark, sf_dir))
     return comp
 
 
 def q_lpa_copurchase(spark, sf_dir):
+    """10 synchronous LPA rounds on the full copurchase graph. Oracle:
+    the same deterministic (freq desc, label asc) update unrolled as 10
+    chained CTEs — exact label-for-label comparison. (The engine may
+    early-stop at a fixpoint; a fixpoint is stable under further rounds,
+    so both sides agree.)"""
     labels, _ = label_propagation(copurchase_sym(spark, sf_dir), max_iter=10)
     return labels
 
@@ -283,14 +305,17 @@ def q_pagerank_exact10(spark, sf_dir):
 
     The oracle is the SAME power iteration unrolled as 10 chained CTEs
     (``_pagerank_sql``): identical damping, identical missing-mass
-    closure. Ranks are scaled by N (mean 1.0) and rounded to 5 decimals
-    so both engines' double-precision group sums format identically.
+    closure. Ranks are scaled by N (mean 1.0) and rounded to 4 decimals
+    so both engines' double-precision group sums format identically —
+    4 (not 5) keeps the probability of a rank landing within the two
+    engines' ~1e-12 summation-order divergence of a rounding boundary
+    an order of magnitude lower (ADVICE r1).
     """
     sym = copurchase_sym(spark, sf_dir)
     n = sym.select(F.col("src").alias("v")).distinct().count()
     ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
     return ranks.select(
-        "v", F.round(F.col("rank") * F.lit(float(n)), 5).alias("rank_n")
+        "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
     )
 
 
@@ -467,30 +492,37 @@ def q_docs_simhash_neardup(spark, sf_dir):
 
 
 def q_emb_knn_lsh(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH (the 100 TB scale path
-    for emb_knn; deterministic under seed — rows-only driver check, recall
-    vs brute force is asserted in tests/)."""
+    """Approximate top-k via PORTABLE random-hyperplane LSH (the 100 TB
+    scale path for emb_knn). Buckets are integer Rademacher projections
+    (md5-derived ±1 planes on floor(v·1000) quantized vectors) — fully
+    order-independent arithmetic, so the DuckDB oracle reproduces the
+    candidate set and ranking EXACTLY; recall vs brute force is asserted
+    in tests/."""
     from trianglecount_spark.operators.knn import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 20)
-    return cosine_topk_lsh(qs, emb, k=5).select(
+    return cosine_topk_lsh(qs, emb, k=5, n_planes=_LSH_P, n_tables=_LSH_T).select(
         "q", "nbr", F.round("sim", 6).alias("sim")
     )
 
 
 def q_emb_knn_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (centroid probe n=4) — deterministic; rows-only."""
+    """IVF ANN (md5-seeded centroids + one integer Lloyd pass, probe
+    n=4) — portable integer arithmetic end-to-end, exactly
+    oracle-checked against the same construction in DuckDB SQL."""
     from trianglecount_spark.operators.knn import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 20)
-    return ivf_topk(qs, emb, k=5).select(
-        "q", "nbr", F.round("sim", 6).alias("sim")
-    )
+    return ivf_topk(
+        qs, emb, k=5, n_centroids=_IVF_K, n_probe=_IVF_PROBE, lloyd_passes=1
+    ).select("q", "nbr", F.round("sim", 6).alias("sim"))
 
 
 def q_emb_knn(spark, sf_dir):
+    """Exact top-k — numpy-matmul scan kernel (collected probe set,
+    per-batch partial top-k, global merge; operators/knn.py)."""
     from trianglecount_spark.operators.knn import cosine_topk_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -501,17 +533,17 @@ def q_emb_knn(spark, sf_dir):
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
-    from trianglecount_spark.operators.knn import _cosine_expr
+    """Exact cosine near-dup pairs via BLOCKED all-pairs matmul: B·(B+1)/2
+    block-pair tasks, one numpy matmul each — no row-level cross join, no
+    per-element SQL lambdas (the r1 form burned 45 s on 2k vectors; this
+    is the same exact result, distributed over block tasks). The
+    sub-quadratic scale path is the LSH bucket join (emb_knn_lsh)."""
+    from trianglecount_spark.operators.knn import cosine_allpairs_blocked
 
+    # 0.5: the driver's synthetic embeddings have no planted near-dups —
+    # the tightest threshold that still yields rows for the hash gate.
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("cv"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(_cosine_expr(), 6).alias("sim"))
-        .where(F.col("sim") >= 0.95)
-    )
+    return cosine_allpairs_blocked(emb, threshold=0.5, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------
@@ -572,15 +604,18 @@ def q_web_edges_mined(spark, sf_dir):
 
 def q_web_vertex_dict(spark, sf_dir):
     """Deterministic url→vid dictionary over both link endpoints (C3
-    id-compaction; row_number over sorted urls, retry-deterministic)."""
+    id-compaction). Runs the SCALABLE two-phase dictionary (range
+    partition + offset cumsum, no global window); the oracle is plain
+    row_number over sorted urls — the gate thereby proves the two-phase
+    form equals the sorted-rank mapping."""
     from trianglecount_spark.functions.extract import extract_links
-    from trianglecount_spark.operators.canonicalize import vertex_dictionary
+    from trianglecount_spark.operators.canonicalize import vertex_dictionary_scalable
 
     raw = extract_links(web_pages_from_documents(spark, sf_dir))
     urls = raw.select(F.col("src_url").alias("url")).unionByName(
         raw.select(F.col("dst_url").alias("url"))
     )
-    return vertex_dictionary(urls, "url")
+    return vertex_dictionary_scalable(urls, "url")
 
 
 def q_web_triangle_total(spark, sf_dir):
@@ -596,14 +631,19 @@ def q_web_triangle_total(spark, sf_dir):
 
 
 def q_web_pagerank(spark, sf_dir):
-    """PageRank over the mined web graph (iterative — rows-only check;
-    exactness vs the NumPy oracle is covered in tests/test_iterative.py)."""
+    """10 fixed PageRank rounds over the mined (symmetrized) web graph —
+    exactly oracle-checked: the DuckDB side rebuilds the pages, mines
+    the links, assigns the SAME url→vid dictionary (row_number over
+    sorted urls), and unrolls the identical power iteration."""
     from trianglecount_spark.functions.extract import edges_from_pages
 
     e, _verts = edges_from_pages(web_pages_from_documents(spark, sf_dir))
     sym = canonicalize_edges(e)
-    ranks, _log = pagerank(sym, tol=1e-6, max_iter=40)
-    return ranks.select("v", F.round("rank", 6).alias("rank"))
+    n = sym.select(F.col("src").alias("v")).distinct().count()
+    ranks, _log = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
+    return ranks.select(
+        "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -641,12 +681,18 @@ def q_media_frame_plan(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Deterministic fake featurizer over binary payloads (real Arrow
-    batch shape; rows-only — sha256-derived vectors have no SQL form)."""
+    batch shape). Exactly oracle-checked: features are hash-uniform
+    u32/2³² values (every step exact or correctly rounded — see
+    operators/multimodal.fake_image_features), reproduced in DuckDB via
+    sha256(text). The float32 feature widens to double exactly before
+    rounding, matching the oracle's CAST chain."""
     from trianglecount_spark.operators.multimodal import fake_image_features
 
     feats = fake_image_features(media_from_documents(spark, sf_dir), dim=16)
     return feats.select(
-        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -755,12 +801,14 @@ def _sw_pred(col: str, words: list[str]) -> str:
     return "(" + " OR ".join(f"{col} = '{w}'" for w in words) + ")"
 
 
-def _pagerank_sql(k: int = 10, alpha: float = 0.85) -> str:
+def _pagerank_sql(k: int = 10, alpha: float = 0.85, prefix: str = _CP, digits: int = 4) -> str:
     """The engine's PageRank (operators/pagerank.py) unrolled as ``k``
-    chained CTEs over the copurchase symmetric edge table — identical
-    damping and missing-mass closure, all arithmetic in DOUBLE (DuckDB
-    decimal literals are cast explicitly so both engines run the same
-    IEEE-754 ops). Final ranks scaled by N and rounded to 5 decimals."""
+    chained CTEs over a symmetric edge table ``und`` supplied by
+    ``prefix`` — identical damping and missing-mass closure, all
+    arithmetic in DOUBLE (DuckDB decimal literals are cast explicitly so
+    both engines run the same IEEE-754 ops). Final ranks scaled by N and
+    rounded to ``digits`` decimals (4 by default — see q_pagerank_exact10
+    on boundary-collision risk)."""
     # AS MATERIALIZED: DuckDB otherwise inlines every CTE reference, and
     # the chain re-expands the whole copurchase derivation 2^k times.
     ctes = [
@@ -780,11 +828,221 @@ def _pagerank_sql(k: int = 10, alpha: float = 0.85) -> str:
             f"FROM verts LEFT JOIN t{i} ON t{i}.v = verts.v)"
         )
     return (
-        _CP
+        prefix
         + ", "
         + ",\n".join(ctes)
-        + f"\nSELECT v, round(rank * (SELECT c FROM nn), 5) AS rank_n FROM pr{k}"
+        + f"\nSELECT v, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
     )
+
+
+def _lpa_sql(k: int = 10, prefix: str = _CP) -> str:
+    """The engine's synchronous LPA (operators/lpa.py) unrolled as ``k``
+    chained CTEs: per round, every vertex adopts the most frequent
+    neighbor label, ties to the SMALLEST label (row_number mirrors the
+    engine's max_by((freq, -label)) exactly)."""
+    ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)",
+        "l0 AS MATERIALIZED (SELECT v, v AS label FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT e.dst AS v, l.label, count(*) AS freq "
+            f"FROM und e JOIN l{i - 1} l ON l.v = e.src GROUP BY e.dst, l.label)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT v, label FROM ("
+            f"SELECT v, label, row_number() OVER (PARTITION BY v "
+            f"ORDER BY freq DESC, label ASC) AS rk FROM f{i}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT verts.v, "
+            f"COALESCE(b{i}.label, p.label) AS label FROM verts "
+            f"LEFT JOIN b{i} ON b{i}.v = verts.v "
+            f"LEFT JOIN l{i - 1} p ON p.v = verts.v)"
+        )
+    return prefix + ", " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{k}"
+
+
+# connected components: min reachable vertex over the symmetric edge set —
+# an independent RECURSIVE-CTE formulation of what large-star/small-star
+# converges to (comp = min member id).
+_CC_SQL = _CP + """
+, verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)
+SELECT v, min(m) AS comp FROM (
+  WITH RECURSIVE reach(v, m) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.dst AS v, r.m FROM reach r JOIN und e ON e.src = r.v
+  )
+  SELECT v, m FROM reach
+) GROUP BY v
+"""
+
+# web graph on vids: the url→vid dictionary (row_number over sorted urls,
+# identical to vertex_dictionary) applied to the mined link table, then
+# symmetrized — the `und` table _pagerank_sql iterates over.
+_WEB_VID = _WEB + """
+, u AS MATERIALIZED (SELECT DISTINCT url FROM (
+    SELECT src_url AS url FROM mined UNION ALL SELECT dst_url AS url FROM mined)),
+dict AS MATERIALIZED (SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM u),
+ev AS MATERIALIZED (
+  SELECT ds.vid AS src, dd.vid AS dst FROM mined m
+  JOIN dict ds ON ds.url = m.src_url JOIN dict dd ON dd.url = m.dst_url),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ev WHERE src <> dst
+    UNION ALL SELECT dst AS src, src AS dst FROM ev WHERE src <> dst))
+"""
+
+
+def _lsh_sql(n_planes: int = 8, n_tables: int = 4, k: int = 5) -> str:
+    """DuckDB replica of operators/knn.py portable LSH: identical ±1
+    md5-derived planes, identical integer quantization — the bucket
+    assignment is a sum of int64 products, order-independent, so both
+    engines produce the SAME buckets bit-for-bit. Exact cosine + top-k
+    on the candidate set."""
+    return f"""
+WITH planes AS MATERIALIZED (
+  SELECT t, p, d,
+         CASE WHEN strpos('01234567',
+              substring(md5(t || '|' || p || '|' || d), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({n_tables})) AS t),
+       (SELECT unnest(range({n_planes})) AS p),
+       (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS d)
+),
+vq AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS iv
+  FROM embeddings
+),
+bits AS MATERIALIZED (
+  SELECT v.vec_id, pl.t, pl.p,
+         CASE WHEN sum(pl.s * v.iv) > 0 THEN 1 ELSE 0 END AS bit
+  FROM vq v JOIN planes pl ON pl.d = v.d
+  GROUP BY v.vec_id, pl.t, pl.p
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, t,
+         CAST(sum(bit * (1::BIGINT << CAST(p AS INT))) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS nbr
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 20 AND qb.vec_id <> cb.vec_id
+),
+s AS (
+  SELECT c.q, c.nbr,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(ec.embedding AS DOUBLE[])) AS sim
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.q
+  JOIN embeddings ec ON ec.vec_id = c.nbr
+),
+r AS (SELECT q, nbr, sim,
+             row_number() OVER (PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk
+      FROM s)
+SELECT q, nbr, round(sim, 6) AS sim FROM r WHERE rk <= {k}
+"""
+
+
+def _ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB replica of operators/knn.py portable IVF: md5-ordered seed
+    vectors, one integer Lloyd pass (floor(avg) of quantized members;
+    empty clusters keep seeds), argmax-integer-dot assignment with
+    (dot desc, cent asc) ties, n_probe probing, exact cosine + top-k."""
+    return f"""
+WITH vq AS MATERIALIZED (
+  SELECT vec_id, unnest(range(len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS iv
+  FROM embeddings
+),
+ranked AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cent
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT r.cent, v.d, v.iv AS c FROM ranked r JOIN vq v ON v.vec_id = r.vec_id
+  WHERE r.cent < {n_centroids}
+),
+dots0 AS MATERIALIZED (
+  SELECT v.vec_id, c.cent, sum(c.c * v.iv) AS dot
+  FROM vq v JOIN c0 c ON c.d = v.d GROUP BY v.vec_id, c.cent
+),
+assign0 AS MATERIALIZED (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent ASC) AS rk
+    FROM dots0) WHERE rk = 1
+),
+c1 AS MATERIALIZED (
+  SELECT c0.cent, c0.d, COALESCE(m.m, c0.c) AS c FROM c0 LEFT JOIN (
+    SELECT a.cent, v.d, CAST(floor(avg(v.iv)) AS BIGINT) AS m
+    FROM assign0 a JOIN vq v ON v.vec_id = a.vec_id GROUP BY a.cent, v.d) m
+  ON m.cent = c0.cent AND m.d = c0.d
+),
+dots1 AS MATERIALIZED (
+  SELECT v.vec_id, c.cent, sum(c.c * v.iv) AS dot
+  FROM vq v JOIN c1 c ON c.d = v.d GROUP BY v.vec_id, c.cent
+),
+assign1 AS MATERIALIZED (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent ASC) AS rk
+    FROM dots1) WHERE rk = 1
+),
+qprobe AS (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent ASC) AS rk
+    FROM dots1 WHERE vec_id < 20) WHERE rk <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT qp.vec_id AS q, ca.vec_id AS nbr
+  FROM qprobe qp JOIN assign1 ca ON ca.cent = qp.cent
+  WHERE qp.vec_id <> ca.vec_id
+),
+s AS (
+  SELECT c.q, c.nbr,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(ec.embedding AS DOUBLE[])) AS sim
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.q
+  JOIN embeddings ec ON ec.vec_id = c.nbr
+),
+r AS (SELECT q, nbr, sim,
+             row_number() OVER (PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk
+      FROM s)
+SELECT q, nbr, round(sim, 6) AS sim FROM r WHERE rk <= {k}
+"""
+
+
+# media_features oracle: the fake featurizer's f0 = u32le(sha256 bytes
+# 0..3) / 2^32 cast through float32 — every step exact / correctly
+# rounded, so DuckDB reproduces it bit-for-bit. payload = utf8(text), and
+# DuckDB's sha256(VARCHAR) hashes the utf-8 bytes — identical digests.
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         sha256(text) AS h
+  FROM documents
+),
+u AS (
+  SELECT media_id, kind,
+         CAST('0x' || substring(h, 1, 2) AS BIGINT)
+       + CAST('0x' || substring(h, 3, 2) AS BIGINT) * 256
+       + CAST('0x' || substring(h, 5, 2) AS BIGINT) * 65536
+       + CAST('0x' || substring(h, 7, 2) AS BIGINT) * 16777216 AS v0
+  FROM m
+)
+SELECT media_id, kind,
+       round(CAST(CAST(v0 / 4294967296.0 AS FLOAT) AS DOUBLE), 6) AS f0
+FROM u
+"""
 
 
 def oracle() -> dict[str, str]:
@@ -845,6 +1103,9 @@ o AS (
 """
         + tri_sql,
         "pagerank_exact10": _pagerank_sql(10),
+        "pagerank_copurchase": _pagerank_sql(30),
+        "components_copurchase": _CC_SQL,
+        "lpa_copurchase": _lpa_sql(10),
         "components_nation": (
             "SELECT n_nationkey AS v, "
             "min(n_nationkey) OVER (PARTITION BY n_regionkey) AS comp FROM nation"
@@ -870,9 +1131,12 @@ o AS (
             "WITH x AS (SELECT user_id, ts, event_id, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
             "FROM events) "
-            "SELECT user_id, 1 + sum(CASE WHEN pts IS NULL THEN 0 "
+            # CAST: DuckDB integer sum() yields HUGEINT, which pandas
+            # coerces to float64 and the comparator then formats as
+            # "56.000000" vs Spark's bigint "56" — cast keeps it integral.
+            "SELECT user_id, 1 + CAST(sum(CASE WHEN pts IS NULL THEN 0 "
             "WHEN epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END) "
-            "AS n_sessions FROM x GROUP BY user_id"
+            "AS BIGINT) AS n_sessions FROM x GROUP BY user_id"
         ),
         "docs_exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs, "
@@ -928,9 +1192,8 @@ o AS (
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
-        # emb_knn_lsh / emb_knn_ivf: approximate ANN (seeded-deterministic)
-        # — no closed-form SQL oracle; rows-only. Recall vs brute force is
-        # asserted in tests/.
+        "emb_knn_lsh": _lsh_sql(_LSH_P, _LSH_T, 5),
+        "emb_knn_ivf": _ivf_sql(_IVF_K, _IVF_PROBE, 5),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS q, embedding AS qv FROM embeddings "
             "WHERE vec_id < 20), "
@@ -944,7 +1207,7 @@ o AS (
             "WITH a AS (SELECT vec_id AS a, embedding AS qv FROM embeddings), "
             "b AS (SELECT vec_id AS b, embedding AS cv FROM embeddings) "
             f"SELECT a, b, round({cos}, 6) AS sim FROM a, b "
-            f"WHERE a < b AND round({cos}, 6) >= 0.95"
+            f"WHERE a < b AND round({cos}, 6) >= 0.5"
         ),
         "web_text_extraction": _WEB
         + (
@@ -965,11 +1228,11 @@ o AS (
             "JOIN o e2 ON e1.dst = e2.src "
             "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
-        # web_pagerank: iterative — intentionally no SQL oracle (rows-only).
+        "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "media_frame_plan": (
             "SELECT doc_id AS media_id, "
             "unnest(range(0, 30 + doc_id % 100, 10)) AS frame_idx "
             "FROM documents WHERE doc_id % 3 = 2"
         ),
-        # media_features: sha256-derived vectors — no SQL form (rows-only).
+        "media_features": _MEDIA_FEATURES_SQL,
     }

@@ -37,31 +37,85 @@ def read_snap_edges(spark: SparkSession, path: str) -> DataFrame:
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
 
+def _mtx_header_lines(spark: SparkSession, path: str) -> dict[str, str]:
+    """file-URI → its size line ("rows cols nnz"), read driver-side via
+    the Hadoop FS API: only the HEAD of each file is fetched (comments +
+    one line), never the body — works on any FS Spark can reach and
+    makes no assumption about how the body later splits into tasks."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(hconf)
+    stack = [s for s in fs.globStatus(root) or []]
+    files = []
+    while stack:
+        st = stack.pop()
+        if st.isDirectory():
+            it = fs.listStatus(st.getPath())
+            stack.extend(it)
+        else:
+            files.append(st.getPath())
+    headers: dict[str, str] = {}
+    for p in files:
+        stream = fs.open(p)
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        try:
+            line = reader.readLine()
+            while line is not None and line.startswith("%"):
+                line = reader.readLine()
+            if line is not None:
+                headers[p.toUri().toString()] = line.strip()
+        finally:
+            reader.close()
+    return headers
+
+
 def read_mtx_edges(spark: SparkSession, path: str) -> DataFrame:
     """S3: MatrixMarket coordinate format — '%' comments, then a
     ``rows cols nnz`` size line, then 1-based ``i j [val]`` entries.
     Ids are shifted to 0-based (scipy mmread/COO equivalence).
 
-    The size line is dropped distributively: entries are 1-based so any
-    line is a valid edge; the size line is identified as the first
-    non-comment line per file via a window-free trick — it's the only
-    line whose third field is missing-or-count — so we instead drop it
-    positionally with a per-file row_number (cheap: one window over the
-    tiny header partition set is avoided by zipWithIndex on line number
-    via ``input_file_name`` + monotonic filter). For robustness and
-    simplicity we drop exactly one line per file: the first non-comment.
+    The size line is removed by VALUE, not position: its text is read
+    driver-side from each file's head (``_mtx_header_lines``) and exactly
+    one occurrence per file is dropped with an occurrence-counted
+    explode. No dependence on Spark's split/partition ordering — the
+    previous formulation ordered a window by ``monotonically_increasing_
+    id``, which is not offset-ordered once a large file splits.
     """
+    headers = _mtx_header_lines(spark, path)
+    hdr_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in headers.items()], "fname string, hdr string"
+        )
+    )
     lines = (
         spark.read.text(path)
         .where(~F.col("value").startswith("%"))
         .withColumn("fname", F.input_file_name())
+        .join(hdr_df, "fname", "left")
+        .withColumn(
+            "is_hdr", F.coalesce(F.trim("value") == F.col("hdr"), F.lit(False))
+        )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fname").orderBy(F.monotonically_increasing_id())
-    body = lines.withColumn("rn", F.row_number().over(w)).where(F.col("rn") > 1)
+    body = lines.where(~F.col("is_hdr"))
+    # an entry line can textually equal the size line ("R C NNZ" as an
+    # edge) — keep (m - 1) of the m matching copies per file
+    dup_hdrs = (
+        lines.where(F.col("is_hdr"))
+        .groupBy("fname", "value")
+        .agg(F.count("*").alias("m"))
+        .where(F.col("m") > 1)
+        .select(F.explode(F.sequence(F.lit(2), F.col("m"))).alias("_i"), "value", "fname")
+        .drop("_i")
+    )
     parts = F.split(F.trim("value"), r"\s+")
-    return body.select(
-        (parts.getItem(0).cast("long") - 1).alias("src"),
-        (parts.getItem(1).cast("long") - 1).alias("dst"),
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    return (
+        body.select("value")
+        .unionByName(dup_hdrs.select("value"))
+        .select(
+            (parts.getItem(0).cast("long") - 1).alias("src"),
+            (parts.getItem(1).cast("long") - 1).alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
