@@ -36,7 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. Iterative ops
-    (pagerank/components/lpa) have no closed-form SQL → rows-only check;
-    their exactness is covered by the NumPy oracles in tests/."""
+    """DuckDB-runnable ANSI SQL oracle per query — EVERY registered
+    query has one (iterative ops via recursive/unrolled CTEs; ANN via
+    portable integer LSH/IVF arithmetic that reproduces bit-for-bit in
+    SQL; the NumPy convergence oracles in tests/ cover the tol>0 modes
+    the SQL unrolling can't express)."""
     return Q.oracle()

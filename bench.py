@@ -5,10 +5,14 @@ local[$SPARK_GRAFT_CPUS]:
 
   tc_join      — triangle count, declarative join form (copurchase graph)
   tc_kernel    — triangle count, partitioned-CSR kernel form (same graph)
+  tc_arrays    — triangle count, per-edge array-intersection form
   pagerank10   — 10 PageRank rounds on the symmetric copurchase graph
   components   — connected components (large-star/small-star)
   minhash_lsh  — MinHash-LSH near-dup candidates over documents
-  emb_knn      — brute-force cosine top-5 over embeddings
+  emb_knn      — exact cosine top-5 over embeddings (matmul scan kernel)
+  emb_neardup  — exact all-pairs cosine near-dup (blocked matmul)
+  web_e2e      — flagship: pages(html) → mined edges → url dictionary →
+                 canonicalize → orient → triangle count
 
 Derived throughputs (triangles/sec, PR iterations/min) are included under
 "derived" — the BASELINE.json metric. Scaling-efficiency evidence across
@@ -44,9 +48,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     spark = get_spark(app_name="tc-bench", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
     derived: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
+    results: dict[str, object] = {}
+
+    def bench(name: str, fn) -> None:
+        """Best-of-`reps` timing (this VM shows ±2x noisy-neighbor
+        variance between identical runs; the reference harness likewise
+        times repeated in-process kernel iterations). All reps are
+        reported under derived.reps."""
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            results[name] = fn()
+            ts.append(round(time.time() - t0, 3))
+        all_reps[name] = ts
+        timings[name] = min(ts)
 
     # shared inputs, materialized once so each query times its own work
     sym = copurchase_sym(spark, sf_dir).cache()
@@ -54,59 +74,87 @@ def main() -> None:
     oriented = copurchase_oriented(spark, sf_dir).cache()
     oriented.count()
 
-    t0 = time.time()
-    n_tri = triangles_join(oriented).count()
-    timings["tc_join"] = round(time.time() - t0, 3)
+    # spin up the Python worker pool once so Arrow-kernel queries time the
+    # operator, not interpreter startup (the reference's harness likewise
+    # times kernel iterations after a warmup launch)
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    bench("tc_join", lambda: triangles_join(oriented).count())
+    n_tri = results["tc_join"]
     derived["tc_join_triangles_per_sec"] = round(n_tri / timings["tc_join"], 1)
     derived["tc_join_edges_per_sec"] = round(n_und_edges / timings["tc_join"], 1)
 
-    t0 = time.time()
-    n_tri_k = (
-        triangles_per_vertex_kernel(oriented, n_parts=cpus)
-        .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
-        .collect()[0]["t"]
+    bench(
+        "tc_kernel",
+        lambda: int(
+            triangles_per_vertex_kernel(oriented, n_parts=cpus)
+            .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
+            .collect()[0]["t"]
+        ),
     )
-    timings["tc_kernel"] = round(time.time() - t0, 3)
-    assert n_tri_k == n_tri, (n_tri_k, n_tri)
+    assert results["tc_kernel"] == n_tri, (results["tc_kernel"], n_tri)
     derived["tc_kernel_triangles_per_sec"] = round(n_tri / timings["tc_kernel"], 1)
 
-    t0 = time.time()
-    n_tri_a = triangle_count_arrays(oriented)
-    timings["tc_arrays"] = round(time.time() - t0, 3)
-    assert n_tri_a == n_tri, (n_tri_a, n_tri)
+    bench("tc_arrays", lambda: triangle_count_arrays(oriented))
+    assert results["tc_arrays"] == n_tri, (results["tc_arrays"], n_tri)
     derived["tc_arrays_triangles_per_sec"] = round(n_tri / timings["tc_arrays"], 1)
 
-    t0 = time.time()
     n_iter = 10
-    ranks, _log = pagerank(
-        sym, tol=0.0, max_iter=n_iter, check_every=n_iter, dangling_free=True
-    )
-    ranks.count()
-    timings["pagerank10"] = round(time.time() - t0, 3)
+
+    def run_pagerank():
+        ranks, _log = pagerank(
+            sym, tol=0.0, max_iter=n_iter, check_every=n_iter, dangling_free=True
+        )
+        return ranks.count()
+
+    bench("pagerank10", run_pagerank)
     derived["pagerank_iters_per_min"] = round(n_iter / (timings["pagerank10"] / 60.0), 2)
 
-    t0 = time.time()
-    comp, _ = connected_components(sym)
-    n_comp = comp.select("comp").distinct().count()
-    timings["components"] = round(time.time() - t0, 3)
-    derived["n_components"] = n_comp
+    def run_components():
+        comp, _ = connected_components(sym)
+        return comp.select("comp").distinct().count()
 
-    t0 = time.time()
+    bench("components", run_components)
+    derived["n_components"] = results["components"]
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sig = minhash_signatures(shingles(docs), n_hashes=8)
-    n_cand = lsh_candidates(sig, n_hashes=8, rows_per_band=2).count()
-    timings["minhash_lsh"] = round(time.time() - t0, 3)
-    derived["minhash_candidates"] = n_cand
 
-    t0 = time.time()
+    def run_minhash():
+        sig = minhash_signatures(shingles(docs), n_hashes=8)
+        return lsh_candidates(sig, n_hashes=8, rows_per_band=2).count()
+
+    bench("minhash_lsh", run_minhash)
+    derived["minhash_candidates"] = results["minhash_lsh"]
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.where(F.col("vec_id") < 100)
-    cosine_topk_bruteforce(qs, emb, k=5).count()
-    timings["emb_knn"] = round(time.time() - t0, 3)
+    bench("emb_knn", lambda: cosine_topk_bruteforce(qs, emb, k=5).count())
+
+    from trianglecount_spark.operators.knn import cosine_allpairs_blocked
+
+    bench(
+        "emb_neardup",
+        lambda: cosine_allpairs_blocked(emb, threshold=0.5, n_blocks=8).count(),
+    )
+    derived["neardup_pairs"] = results["emb_neardup"]
+
+    from trianglecount_spark.functions.extract import edges_from_pages
+    from trianglecount_spark.operators.canonicalize import canonicalize_edges, orient
+    from trianglecount_spark.plans.queries import web_pages_from_documents
+
+    def run_web():
+        we, _ = edges_from_pages(web_pages_from_documents(spark, sf_dir))
+        return triangles_join(orient(canonicalize_edges(we))).count()
+
+    bench("web_e2e", run_web)
+    derived["web_triangles"] = results["web_e2e"]
 
     total = round(sum(timings.values()), 3)
     derived["n_triangles"] = n_tri
     derived["n_und_edges"] = n_und_edges
+    derived["reps"] = all_reps  # best-of-N per query; every rep recorded
     print(
         json.dumps(
             {

@@ -104,13 +104,19 @@ def measure_pair(lo: int, hi: int, reps: int) -> dict:
 
 
 def merge_cell(old: dict | None, new: dict | None) -> dict | None:
-    """Keep the faster measurement of the same (job, size) cell across
-    sessions: external noisy-neighbor load only ever inflates times, so
-    the min over repeated identical measurements is the best estimate."""
+    """Keep the faster measurement of the same (job, size, harness) cell
+    across sessions: external noisy-neighbor load only ever inflates
+    times, so the min over repeated identical measurements is the best
+    estimate. A cell measured under a different input size OR a
+    different harness protocol version (scaling_job.HARNESS_VERSION —
+    JVM flags, tmpfs shuffle, reps discipline, kernel implementation)
+    is not comparable and is discarded, not merged."""
     if old is None or new is None:
         return new or old
     if (old["edges"], old["vertices"]) != (new["edges"], new["vertices"]):
         return new  # size changed: old measurement is not comparable
+    if old.get("harness") != new.get("harness"):
+        return new  # protocol changed: old measurement is not comparable
     return old if old["seconds"] < new["seconds"] else new
 
 
@@ -121,8 +127,11 @@ def pair_table(lo: int, hi: int, results: dict) -> tuple[list[str], dict]:
     ]
     effs = {}
     for q in JOBS:
-        t_lo = results[q][lo]["seconds"]
-        t_hi = results[q][hi]["seconds"]
+        cells = results.get(q, {})
+        if lo not in cells or hi not in cells:
+            continue  # partial cache / subset rerun: skip, don't crash
+        t_lo = cells[lo]["seconds"]
+        t_hi = cells[hi]["seconds"]
         sp = t_lo / t_hi
         eff = sp / (hi / lo)
         effs[q] = eff
@@ -136,6 +145,12 @@ def main() -> None:
     pairs = [tuple(int(x) for x in p.split("x")) for p in pair_spec.split(",")]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # reclaim tmpfs shuffle dirs left by crashed/timed-out prior runs —
+    # stale spill in /dev/shm would distort every later measurement
+    import glob
+    import shutil
+    for stale in glob.glob("/dev/shm/spark-scaling-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     all_results = {}
     for lo, hi in pairs:
         print(f"=== pair local[{lo}] vs local[{hi}] ===", flush=True)
@@ -198,12 +213,6 @@ def main() -> None:
     primary = (2, 8) if (2, 8) in all_results else pairs[0]
     lo, hi = primary
     tab, effs = pair_table(lo, hi, all_results[primary])
-    meta = all_results[primary]["tc_arrays"][lo]
-    n_tri = meta.get("n_triangles", 0)
-    t_arr_lo = all_results[primary]["tc_arrays"][lo]["seconds"]
-    t_arr_hi = all_results[primary]["tc_arrays"][hi]["seconds"]
-    t_pr_lo = all_results[primary]["pagerank10"][lo]["seconds"]
-    t_pr_hi = all_results[primary]["pagerank10"][hi]["seconds"]
     lines += [
         f"## Primary criterion evidence: N={lo} vs 4N={hi} cores",
         "",
@@ -220,12 +229,24 @@ def main() -> None:
         "",
         *tab,
         "",
-        f"Triangle throughput (arrays strategy): {n_tri / t_arr_lo:,.0f} tri/s at "
-        f"local[{lo}] → {n_tri / t_arr_hi:,.0f} tri/s at local[{hi}].",
-        f"PageRank: {10 / (t_pr_lo / 60):.1f} iters/min at local[{lo}] → "
-        f"{10 / (t_pr_hi / 60):.1f} iters/min at local[{hi}].",
-        "",
     ]
+    # throughput headlines only when both levels of the cells exist
+    arr = all_results[primary].get("tc_arrays", {})
+    if lo in arr and hi in arr:
+        n_tri = arr[lo].get("n_triangles", 0)
+        lines.append(
+            f"Triangle throughput (arrays strategy): "
+            f"{n_tri / arr[lo]['seconds']:,.0f} tri/s at local[{lo}] → "
+            f"{n_tri / arr[hi]['seconds']:,.0f} tri/s at local[{hi}]."
+        )
+    pr = all_results[primary].get("pagerank10", {})
+    if lo in pr and hi in pr:
+        lines.append(
+            f"PageRank: {10 / (pr[lo]['seconds'] / 60):.1f} iters/min at "
+            f"local[{lo}] → {10 / (pr[hi]['seconds'] / 60):.1f} iters/min at "
+            f"local[{hi}]."
+        )
+    lines.append("")
     if (8, 32) in all_results and primary != (8, 32):
         tab2, effs2 = pair_table(8, 32, all_results[(8, 32)])
         lines += [
@@ -249,7 +270,9 @@ def main() -> None:
                 "pairs": {
                     f"{lo}x{hi}": {
                         "results": {
-                            q: {str(c): r[q][c] for c in r[q]} for q in JOBS
+                            q: {str(c): r[q][c] for c in r[q]}
+                            for q in JOBS
+                            if q in r
                         },
                         "efficiency": {
                             k: round(v, 3)

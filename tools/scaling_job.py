@@ -64,6 +64,11 @@ from trianglecount_spark.sources.synth import powerlaw_edges  # noqa: E402
 
 SHUFFLE_PARTITIONS = 64
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+# Bump when the measurement protocol changes (JVM flags, tmpfs shuffle,
+# reps discipline, kernel implementation): cached cells from a different
+# harness version are discarded by tools/scaling.py rather than merged.
+# v4 = Arrow-native TC kernel (r2).
+HARNESS_VERSION = 4
 
 
 def main() -> None:
@@ -86,7 +91,10 @@ def main() -> None:
             "spark.local.dir": local_dir,
         },
     )
-    out = {"cpus": cpus, "job": job, "edges": n_edges, "vertices": n_vertices}
+    out = {
+        "cpus": cpus, "job": job, "edges": n_edges, "vertices": n_vertices,
+        "harness": HARNESS_VERSION,
+    }
 
     sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
     sym.count()
@@ -122,26 +130,30 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown job {job}")
 
-    # pagerank's 10 rounds amortize their own JIT warmup; a 2-round
-    # mini-run still pre-compiles the per-round plan shapes
-    if job == "pagerank10":
-        w, _ = pagerank(sym, tol=0.0, max_iter=2, check_every=2, dangling_free=True)
-        w.count()
-        reps = min(reps, 2)
-    else:
-        run_once()
+    try:
+        # pagerank's 10 rounds amortize their own JIT warmup; a 2-round
+        # mini-run still pre-compiles the per-round plan shapes
+        if job == "pagerank10":
+            w, _ = pagerank(sym, tol=0.0, max_iter=2, check_every=2, dangling_free=True)
+            w.count()
+            reps = min(reps, 2)
+        else:
+            run_once()
 
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        run_once()
-        times.append(round(time.time() - t0, 3))
-    out["reps"] = times
-    out["seconds"] = min(times)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            run_once()
+            times.append(round(time.time() - t0, 3))
+        out["reps"] = times
+        out["seconds"] = min(times)
 
-    print(json.dumps(out))
-    spark.stop()
-    shutil.rmtree(local_dir, ignore_errors=True)
+        print(json.dumps(out))
+        spark.stop()
+    finally:
+        # always reclaim the tmpfs shuffle dir — a crashed/timed-out job
+        # must not leave spill in /dev/shm distorting later measurements
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

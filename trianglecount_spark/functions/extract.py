@@ -103,7 +103,10 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
     r1 flagship path funneled 10^12 urls through one task here."""
     from trianglecount_spark.operators.canonicalize import vertex_dictionary_scalable
 
-    raw = extract_links(pages)
+    # the mined link table is referenced four times downstream (two url
+    # unions + two mapping joins); persist it so the HTML extractor runs
+    # ONCE — at crawl scale this table is materialized to storage anyway
+    raw = extract_links(pages).persist()
     urls = raw.select(F.col("src_url").alias("url")).unionByName(
         raw.select(F.col("dst_url").alias("url"))
     )

@@ -3,8 +3,10 @@ from trianglecount_spark.operators.canonicalize import (
     degrees,
     orient,
     vertex_dictionary,
+    vertex_dictionary_scalable,
 )
 from trianglecount_spark.operators.triangles import (
+    triangle_count_arrays,
     triangle_count_join,
     triangle_count_kernel,
     triangles_per_vertex_join,
@@ -15,6 +17,8 @@ __all__ = [
     "degrees",
     "orient",
     "vertex_dictionary",
+    "vertex_dictionary_scalable",
+    "triangle_count_arrays",
     "triangle_count_join",
     "triangle_count_kernel",
     "triangles_per_vertex_join",
