@@ -131,28 +131,26 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     h = tok.withColumn(
         "hv", F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast("long")
     )
-    # per-bit votes: sum(cnt * (bit ? 1 : -1)) over tokens, for 60 usable
-    # bits (15 hex chars); packed via aggregate over a sequence
+    # per-bit votes as plain ROWS (explode ×60) through codegen'd hash
+    # aggregates — the r1 form summed 60-wide arrays with interpreted
+    # higher-order lambdas (aggregate/zip_with), ~6M lambda evals at
+    # sf0.01; whole-stage codegen over 60× the rows is far cheaper, and
+    # the (id, bit) partial agg combines map-side.
     votes = h.select(
         id_col,
-        F.expr(
-            "transform(sequence(0, 59),"
-            " b -> CASE WHEN ((hv >> b) & 1) = 1 THEN cnt ELSE -cnt END)"
-        ).alias("v"),
-    )
-    summed = votes.groupBy(id_col).agg(
-        F.expr(
-            "aggregate(collect_list(v), "
-            "cast(array_repeat(0L, 60) as array<bigint>), "
-            "(acc, x) -> zip_with(acc, x, (p, q) -> p + cast(q as bigint)))"
-        ).alias("bits")
-    )
-    return summed.select(
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        F.col("cnt"),
+        F.col("hv"),
+    ).select(
         id_col,
+        "b",
+        F.expr("CASE WHEN ((hv >> b) & 1) = 1 THEN cnt ELSE -cnt END").alias("vote"),
+    )
+    summed = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return summed.groupBy(id_col).agg(
         F.expr(
-            "aggregate(sequence(0, 59),"
-            " 0L, (acc, b) -> acc + CASE WHEN bits[b] > 0 THEN shiftleft(1L, b) ELSE 0L END)"
-        ).alias("simhash"),
+            "sum(CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END)"
+        ).alias("simhash")
     )
 
 
