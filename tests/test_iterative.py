@@ -91,6 +91,60 @@ def test_pagerank_allclose_numpy(spark, name):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def numpy_pagerank_directed(pairs, alpha=0.85, n_iter=40):
+    """Dense power iteration on the DIRECTED graph as given (sinks kept)."""
+    dir_edges = {(a, b) for a, b in pairs if a != b}
+    verts = sorted({v for e in dir_edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in dir_edges:
+        A[idx[b], idx[a]] = 1.0
+    outdeg = A.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = np.where(outdeg > 0, r / outdeg, 0.0)
+        dangling = r[outdeg == 0].sum()
+        r = (1 - alpha) / n + alpha * (A @ contrib + dangling / n)
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_pagerank_directed_sinks_allclose(spark):
+    # 2 is a pure sink, 5 dangles off a chain — exercises the general
+    # path's missing-mass closure on a graph where undelivered > 1-alpha
+    raw = [(0, 1), (1, 2), (3, 2), (3, 4), (4, 0), (0, 5)]
+    ranks, _ = pagerank(edges_df(spark, raw), tol=0.0, max_iter=40, check_every=40)
+    got = {r.v: r.rank for r in ranks.collect()}
+    want = numpy_pagerank_directed(raw)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_general_path_no_per_round_collect(spark, monkeypatch):
+    # the missing-mass closure must stay PLAN-side: the only driver
+    # collect() in a pagerank run is the convergence delta at each check
+    # round — a per-round scalar collect serializes every round on a
+    # driver round-trip at 1000 executors. Patch the CLASSIC DataFrame
+    # (pyspark 4 splits classic/connect; the base class's collect is
+    # overridden and never runs).
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    raw = [(0, 1), (1, 2), (3, 2), (3, 4), (4, 0)]
+    pagerank(edges_df(spark, raw), tol=0.0, max_iter=6, check_every=6)
+    assert calls["n"] == 1, f"expected only the delta_fn collect, saw {calls['n']}"
+
+
 def test_pagerank_dangling_free_matches_default(spark):
     # symmetric graph ⇒ no dangling vertices ⇒ the one-job-per-round
     # fast path must agree with the missing-mass-closure path to FP noise

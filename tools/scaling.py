@@ -56,13 +56,13 @@ SIZES = {
         "tc_arrays": (8_000_000, 100_000),
         "tc_join": (6_000_000, 100_000),
         "pagerank10": (32_000_000, 2_000_000),
-        "tc_kernel": (8_000_000, 100_000),
+        "tc_kernel": (16_000_000, 200_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),
         "tc_join": (8_000_000, 100_000),
         "pagerank10": (32_000_000, 2_000_000),
-        "tc_kernel": (5_000_000, 100_000),
+        "tc_kernel": (16_000_000, 200_000),
     },
 }
 

@@ -67,8 +67,10 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # Bump when the measurement protocol changes (JVM flags, tmpfs shuffle,
 # reps discipline, kernel implementation): cached cells from a different
 # harness version are discarded by tools/scaling.py rather than merged.
-# v4 = Arrow-native TC kernel (r2).
-HARNESS_VERSION = 4
+# v4 = Arrow-native TC kernel (r2). v5 = chunked int32 kernel passes.
+# v6 = int32 shuffle payload + n_parts=64 (halo volume, not kernel
+# compute, dominates the job — finer groups only multiply replication).
+HARNESS_VERSION = 6
 
 
 def main() -> None:
@@ -112,12 +114,14 @@ def main() -> None:
             # build is a serial driver-side step)
             out["n_triangles"] = triangles_join(oriented, closure="shuffle").count()
         elif job == "tc_kernel":
-            # 4x the shuffle partitions: the kernel's per-group numpy work
-            # is lumpier than row-level stages, finer groups balance the
-            # python workers (measured: 32s -> 14.8s at local[8] on the
-            # 8M-edge input). Held FIXED across parallelism levels.
+            # n_parts = the shuffle-partition count: halo arrays replicate
+            # once per demanding group, so finer groups multiply shuffle
+            # volume — with the Arrow kernel the numpy compute is ~free
+            # (a no-op-kernel run times the same) and volume dominates.
+            # Measured local[8]/8M edges: 64 parts 14.6s vs 256 parts
+            # 19.4s. Held FIXED across parallelism levels.
             out["n_triangles"] = int(
-                triangles_per_vertex_kernel(oriented, n_parts=4 * SHUFFLE_PARTITIONS)
+                triangles_per_vertex_kernel(oriented, n_parts=SHUFFLE_PARTITIONS)
                 .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
                 .collect()[0]["t"]
             )

@@ -11,8 +11,9 @@ did not deliver —
 which is algebraically identical to the textbook
 ``(1-a)/N + a*(contrib + dangling/N)`` form (the undelivered mass is
 exactly ``(1-a) + a*dangling``), but needs NO separate dangling-vertex
-aggregate — one shuffle join + one hash aggregate per round, plus a
-scalar sum collected from the materialized round state.
+aggregate — one shuffle join + one hash aggregate per round, with the
+closure constant folded back in plan-side as a broadcast 1-row
+aggregate (no per-round driver collect on either path).
 
 Physical shape per round:
   - join ranks ⋈ weighted edges on src (1/outdeg folded into the cached
@@ -20,7 +21,9 @@ Physical shape per round:
     a single time and reused — only the rank vector shuffles per round),
   - groupBy dst (map-side partial agg),
   - localCheckpoint (lineage truncation; the GraphX-style per-round
-    materialization) + a one-row sum for the closure constant.
+    materialization) — the round's ONLY job: the closure constant is a
+    broadcast 1-row aggregate whose duplicated subtree dedupes via
+    ReusedExchange at execution.
 
 Skewed in-degree (hub pages) lands in the aggregation, not the join —
 partial aggregation absorbs it without salting.
@@ -92,18 +95,21 @@ def pagerank(
                     + F.lit((1.0 - alpha) / n)
                 ).alias("rank"),
             )
-        tilde = (
-            verts.join(contribs, "v", "left")
-            .select(
-                "v",
-                (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rt"),
-            )
-            .localCheckpoint(eager=True)  # the round's one real job
+        tilde = verts.join(contribs, "v", "left").select(
+            "v",
+            (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rt"),
         )
-        undelivered = 1.0 - (
-            tilde.agg(F.coalesce(F.sum("rt"), F.lit(0.0))).collect()[0][0]
+        # undelivered mass stays PLAN-side: a broadcast 1-row aggregate
+        # crossJoined back in, instead of a per-round driver collect().
+        # ``tilde`` appears twice in the plan but its shuffle exchanges
+        # dedupe (ReusedExchange), so iterate()'s checkpoint remains the
+        # round's single job with no driver round-trip.
+        mass = tilde.agg(
+            ((F.lit(1.0) - F.coalesce(F.sum("rt"), F.lit(0.0))) / n).alias("_per_v")
         )
-        return tilde.select("v", (F.col("rt") + F.lit(undelivered / n)).alias("rank"))
+        return tilde.crossJoin(F.broadcast(mass)).select(
+            "v", (F.col("rt") + F.col("_per_v")).alias("rank")
+        )
 
     def delta_fn(prev: DataFrame, cur: DataFrame) -> float:
         return (

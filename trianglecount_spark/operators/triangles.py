@@ -35,6 +35,7 @@ corner), matching the reference's per-vertex g_sum
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import numpy as np
@@ -183,6 +184,13 @@ _K_HALO = 0          # adjacency operand: (v, full sorted N+(v))
 _K_SEED = 1          # unsalted anchor: seeds == full sorted N+(u)
 _K_SEED_SALTED = 2   # salted hub anchor: seeds = one bucket's slice of N+(u)
 
+# wedges expanded per kernel pass — caps the int64 probe-key / gather
+# temporaries (~20 B/wedge) so peak kernel memory stays ~tens of MB per
+# worker regardless of group size (500k vs 2M measured within noise at
+# local[8]/8M edges — the cap is a memory-footprint bound, not a
+# throughput tunable)
+_WEDGE_CHUNK = int(os.environ.get("SPARK_GRAFT_WEDGE_CHUNK", "1000000"))
+
 
 def _gather_segments(starts: np.ndarray, lens: np.ndarray, flat: np.ndarray) -> np.ndarray:
     """Vectorized gather of variable-length segments flat[starts[i] :
@@ -192,7 +200,10 @@ def _gather_segments(starts: np.ndarray, lens: np.ndarray, flat: np.ndarray) -> 
     if total == 0:
         return np.empty(0, dtype=flat.dtype)
     offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    idx = np.arange(total) - np.repeat(offs, lens) + np.repeat(starts, lens)
+    # one repeat, not two: idx = arange + repeat(starts - offs) — each
+    # wedge-length temporary is a full memory-bandwidth pass
+    idx = np.arange(total, dtype=np.int64)
+    idx += np.repeat(starts - offs, lens)
     return flat[idx]
 
 
@@ -221,6 +232,16 @@ def _count_partition_arrow(table):
         kernel has no global-id ceiling (a 10^12-vertex web graph
         overflows the r1 raw packing).
       - per-anchor partial sums (T4) leave as (v, tri) rows.
+
+    Bandwidth discipline (the kernel is memory-bound, not FLOP-bound —
+    every wedge-scale temporary is a full pass over RAM, and N
+    concurrent workers share one socket's bandwidth):
+      - ids are computed in a compact int32 space (direct downcast when
+        max id < 2³¹, dense relabel otherwise) — halves the bytes of
+        every gather/repeat pass; only the packed probe keys are int64.
+      - wedge expansion runs in bounded chunks (≤ ``_WEDGE_CHUNK``
+        wedges per pass) with per-anchor counts accumulated by bincount
+        — peak temporary footprint is independent of group size.
     """
     import pyarrow as pa  # noqa: PLC0415
     import pyarrow.compute as pc  # noqa: PLC0415
@@ -242,35 +263,48 @@ def _count_partition_arrow(table):
         # no middle adjacency, or no seeds → no wedge can close
         return empty
 
+    # compact int32 id space: direct downcast when ids fit 2³¹, dense
+    # LOCAL relabel otherwise (group-local universes are < 2³¹ — the
+    # kernel has NO global-id ceiling; a 10^12-vertex web graph would
+    # overflow raw packing). Every wedge-scale pass below then moves
+    # half the bytes.
+    hi_id = max(int(v.max(initial=0)), int(flat.max(initial=0)) if len(flat) else 0)
+    if hi_id < (1 << 31):
+        uni = None
+        v32 = v.astype(np.int32)
+        flat32 = flat.astype(np.int32)
+    else:
+        uni = np.unique(np.concatenate([v, flat]))
+        v32 = np.searchsorted(uni, v).astype(np.int32)
+        flat32 = np.searchsorted(uni, flat).astype(np.int32)
+
     # halo lookup: sorted vertex ids → original row index (segments are
     # never moved; T7 offsets are the Arrow list offsets themselves)
-    vs_h = v[halo_rows]
+    vs_h = v32[halo_rows]
     order_h = np.argsort(vs_h, kind="stable")
     svs = vs_h[order_h]
     h_rows_sorted = halo_rows[order_h]
 
     # seed expansion: per-element (u, v) pairs from the packed seeds
-    su = v[seed_rows]
+    su = v32[seed_rows]
     s_lens = lens[seed_rows]
-    sv_flat = _gather_segments(starts[seed_rows], s_lens, flat)
+    sv_flat = _gather_segments(starts[seed_rows], s_lens, flat32)
     if not len(sv_flat):
         return empty
     su_rep = np.repeat(su, s_lens)
     salted_flat = np.repeat(kind[seed_rows] == _K_SEED_SALTED, s_lens)
 
-    # wedge expansion (T2): each (u, v) fans out to all w ∈ N+(v)
+    # wedge fan-out sizes (T2): each (u, v) reaches all w ∈ N+(v)
     vpos = np.searchsorted(svs, sv_flat)
     vpos_c = np.minimum(vpos, len(svs) - 1)
     has_adj = svs[vpos_c] == sv_flat
     hrow = h_rows_sorted[vpos_c]
     wlens = np.where(has_adj, lens[hrow], 0)
-    w = _gather_segments(starts[hrow], wlens, flat)
-    if not len(w):
-        return empty
-    anchors_rep = np.repeat(su_rep, wlens)
+    wstarts = starts[hrow]
 
-    # anchor target set T(u): unsalted — the seed pairs ARE N+(u);
-    # salted hubs — their full adjacency was halo-shipped
+    # anchor target set T(u), built ONCE per group (edge-scale):
+    # unsalted — the seed pairs ARE N+(u); salted hubs — their full
+    # adjacency was halo-shipped
     hub_ids = np.unique(su_rep[salted_flat])
     t_u = [su_rep[~salted_flat]]
     t_w = [sv_flat[~salted_flat]]
@@ -281,36 +315,47 @@ def _count_partition_arrow(table):
         )
         hub_row = h_rows_sorted[hpos]
         t_u.append(np.repeat(hub_ids, lens[hub_row]))
-        t_w.append(_gather_segments(starts[hub_row], lens[hub_row], flat))
-    tu = np.concatenate(t_u)
-    tw = np.concatenate(t_w)
-
-    # closure probe (T1): (u, w) ∈ T(u) via binary search on packed keys
-    hi = max(
-        int(tu.max(initial=0)), int(tw.max(initial=0)),
-        int(anchors_rep.max(initial=0)), int(w.max(initial=0)),
+        t_w.append(_gather_segments(starts[hub_row], lens[hub_row], flat32))
+    target_keys = np.sort(
+        (np.concatenate(t_u).astype(np.int64) << 32) | np.concatenate(t_w)
     )
-    if hi < (1 << 31):
-        target_keys = np.sort((tu << 32) | tw)
-        probe_keys = (anchors_rep << 32) | w
-    else:
-        # dense local relabel — group-local index spaces are < 2³¹, so
-        # the kernel has NO global-id ceiling
-        uni = np.unique(np.concatenate([tu, tw, anchors_rep, w]))
-        target_keys = np.sort(
-            (np.searchsorted(uni, tu).astype(np.int64) << 32) | np.searchsorted(uni, tw)
-        )
-        probe_keys = (
-            np.searchsorted(uni, anchors_rep).astype(np.int64) << 32
-        ) | np.searchsorted(uni, w)
-    hit_pos = np.searchsorted(target_keys, probe_keys)
-    hit_pos[hit_pos == len(target_keys)] = 0
-    hits = target_keys[hit_pos] == probe_keys
 
-    # per-anchor partial sums (T4): map-side combine inside the kernel
-    out_v, out_t = np.unique(anchors_rep[hits], return_counts=True)
+    # chunked wedge expansion + closure probe (T1): bounded temporary
+    # footprint regardless of group size; per-anchor partial sums (T4)
+    # accumulate by bincount into the group's anchor table
+    anchor_ids = np.unique(su)
+    counts = np.zeros(len(anchor_ids), dtype=np.int64)
+    cum = np.cumsum(wlens)
+    total_w = int(cum[-1]) if len(cum) else 0
+    if total_w == 0:
+        return empty
+    n_chunks = -(-total_w // _WEDGE_CHUNK)
+    cuts = np.searchsorted(cum, np.arange(1, n_chunks + 1) * _WEDGE_CHUNK) + 1
+    cuts[-1] = len(wlens)
+    prev = 0
+    for cut in cuts:
+        cut = int(cut)
+        if cut <= prev:
+            continue
+        sl = slice(prev, cut)
+        prev = cut
+        w = _gather_segments(wstarts[sl], wlens[sl], flat32)
+        if not len(w):
+            continue
+        a = np.repeat(su_rep[sl], wlens[sl])
+        probe_keys = (a.astype(np.int64) << 32) | w
+        hit_pos = np.searchsorted(target_keys, probe_keys)
+        hit_pos[hit_pos == len(target_keys)] = 0
+        hits = target_keys[hit_pos] == probe_keys
+        if hits.any():
+            apos = np.searchsorted(anchor_ids, a[hits])
+            counts += np.bincount(apos, minlength=len(anchor_ids))
+
+    nz = counts > 0
+    out_ids = anchor_ids[nz]
+    out_v = uni[out_ids] if uni is not None else out_ids.astype(np.int64)
     return pa.table(
-        {"v": pa.array(out_v, pa.int64()), "tri": pa.array(out_t, pa.int64())}
+        {"v": pa.array(out_v, pa.int64()), "tri": pa.array(counts[nz], pa.int64())}
     )
 
 
@@ -345,6 +390,20 @@ def triangles_per_vertex_kernel(
     """
     if n_parts is None:
         n_parts = oriented.sparkSession.sparkContext.defaultParallelism
+
+    # compact id width for the shuffled payload: when every id fits
+    # int32, ship 4-byte ids — the halo/seed array shuffle and the Arrow
+    # hand-off to the kernel are the job's dominant bytes, and halving
+    # them is a straight bandwidth win at every parallelism level. One
+    # cheap agg on the (cached) oriented input decides; > 2³¹ ids keep
+    # bigint and the kernel's dense local relabel handles them.
+    hi = oriented.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("hi")
+    ).collect()[0]["hi"]
+    if hi is not None and hi < (1 << 31):
+        oriented = oriented.select(
+            F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+        )
 
     # one shuffle: oriented edges → sorted adjacency arrays + out-degree
     # (C6 adjacency sort + the CSR payload, Arrow-packed one row per
