@@ -67,10 +67,18 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # Bump when the measurement protocol changes (JVM flags, tmpfs shuffle,
 # reps discipline, kernel implementation): cached cells from a different
 # harness version are discarded by tools/scaling.py rather than merged.
+# Per-job so a kernel-only protocol change doesn't discard the other
+# jobs' cells.
 # v4 = Arrow-native TC kernel (r2). v5 = chunked int32 kernel passes.
 # v6 = int32 shuffle payload + n_parts=64 (halo volume, not kernel
 # compute, dominates the job — finer groups only multiply replication).
-HARNESS_VERSION = 6
+# v7 (tc_kernel) = single-adjacency-build plan: routing assignments from
+# raw edges + broadcast hubs, ONE collect_list agg + ONE join (the v6
+# plan executed the agg six times — no exchange reuse across the
+# grouped-Arrow boundary).
+_DEFAULT_HARNESS = 6
+HARNESS_VERSIONS = {"tc_kernel": 7}
+HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 
 def main() -> None:
@@ -95,7 +103,7 @@ def main() -> None:
     )
     out = {
         "cpus": cpus, "job": job, "edges": n_edges, "vertices": n_vertices,
-        "harness": HARNESS_VERSION,
+        "harness": HARNESS_VERSIONS.get(job, _DEFAULT_HARNESS),
     }
 
     sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()

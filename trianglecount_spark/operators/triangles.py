@@ -182,7 +182,9 @@ _EMPTY = pd.DataFrame({"v": pd.Series([], dtype="int64"), "tri": pd.Series([], d
 # row kinds in the kernel shuffle
 _K_HALO = 0          # adjacency operand: (v, full sorted N+(v))
 _K_SEED = 1          # unsalted anchor: seeds == full sorted N+(u)
-_K_SEED_SALTED = 2   # salted hub anchor: seeds = one bucket's slice of N+(u)
+_K_SEED_SALTED = 2   # salted hub anchor: full N+(u); the kernel expands
+#                      only the group's bucket slice (dst % n_salts == b)
+#                      but probes against the full array
 
 # wedges expanded per kernel pass — caps the int64 probe-key / gather
 # temporaries (~20 B/wedge) so peak kernel memory stays ~tens of MB per
@@ -207,30 +209,34 @@ def _gather_segments(starts: np.ndarray, lens: np.ndarray, flat: np.ndarray) -> 
     return flat[idx]
 
 
-def _count_partition_arrow(table):
+def _count_partition_arrow(table, n_salts: int):
     """Count wedge closures for the anchor seeds of one group.
 
-    Arrow-native kernel: the group's (v, seeds:list<long>, kind) rows
-    arrive as a pyarrow Table; ``list_flatten`` / ``list_value_length``
-    expose the packed adjacency as ONE flat int64 buffer + per-row
-    lengths (zero-copy — the r1 applyInPandas form unpacked the list
-    column into per-row numpy objects, which dominated its runtime).
-    Everything below is whole-array numpy:
+    Arrow-native kernel: the group's (v, part, seeds:list<long>, kind)
+    rows arrive as a pyarrow Table; ``list_flatten`` /
+    ``list_value_length`` expose the packed adjacency as ONE flat int64
+    buffer + per-row lengths (zero-copy — the r1 applyInPandas form
+    unpacked the list column into per-row numpy objects, which dominated
+    its runtime). Everything below is whole-array numpy:
 
       - halo rows carry the full sorted adjacency N+(v) of every vertex
-        the group's seeds point at (and of every salted hub anchored
-        here); lookup structure = argsort of halo vertex ids — segments
-        stay in place, only row indices are sorted (T7/C6).
-      - seed rows carry each anchor's wedge seeds — full N+(u) when
-        unsalted, one hash bucket's slice for a salted hub.
+        the group's seeds point at; lookup structure = argsort of halo
+        vertex ids — segments stay in place, only row indices are
+        sorted (T7/C6).
+      - seed rows carry each anchor's FULL sorted N+(u) (salted and
+        unsalted alike — the plan side ships one adjacency row per
+        (anchor, group), never a pre-sliced copy). The group's part id
+        encodes its salt bucket: b = part % (n_salts+1) - 1; bucket
+        groups (b ≥ 0) expand only the seeds with dst % n_salts == b —
+        the same arithmetic the plan side used to route their halo
+        rows — but probe against the full array.
       - wedge expansion (T2): seeds (u, v) → all w ∈ N+(v) via
         searchsorted + segment gather.
       - closure probe (T1): packed (u, w) int64 keys binary-searched
-        against the anchor target set — the seed edges themselves for
-        unsalted anchors, the halo-shipped full N+(u) for salted hubs.
-        Ids ≥ 2³¹ take a dense LOCAL relabel (np.unique universe) — the
-        kernel has no global-id ceiling (a 10^12-vertex web graph
-        overflows the r1 raw packing).
+        against the anchor target set — all (anchor, neighbor) seed
+        pairs of the group. Ids ≥ 2³¹ take a dense LOCAL relabel
+        (np.unique universe) — the kernel has no global-id ceiling (a
+        10^12-vertex web graph overflows the r1 raw packing).
       - per-anchor partial sums (T4) leave as (v, tri) rows.
 
     Bandwidth discipline (the kernel is memory-bound, not FLOP-bound —
@@ -262,6 +268,8 @@ def _count_partition_arrow(table):
     if not len(halo_rows) or not len(seed_rows):
         # no middle adjacency, or no seeds → no wedge can close
         return empty
+    # the group's salt bucket, encoded in its part id (constant per group)
+    b = int(tab.column("part")[0].as_py()) % (n_salts + 1) - 1
 
     # compact int32 id space: direct downcast when ids fit 2³¹, dense
     # LOCAL relabel otherwise (group-local universes are < 2³¹ — the
@@ -292,7 +300,23 @@ def _count_partition_arrow(table):
     if not len(sv_flat):
         return empty
     su_rep = np.repeat(su, s_lens)
-    salted_flat = np.repeat(kind[seed_rows] == _K_SEED_SALTED, s_lens)
+
+    # anchor target set T(u) = ALL (anchor, neighbor) seed pairs — the
+    # seed rows carry full N+(u) in every group kind, so this is exact
+    # for salted hubs too. Built ONCE per group (edge-scale).
+    target_keys = np.sort((su_rep.astype(np.int64) << 32) | sv_flat)
+
+    # bucket groups expand only their slice of the hub seeds; the mod
+    # runs on ORIGINAL ids (matching the plan-side pmod(dst, n_salts)
+    # halo routing), so it must precede any dense relabel
+    if b >= 0:
+        keep = _gather_segments(
+            starts[seed_rows], s_lens, (flat % n_salts) == b
+        )
+        su_rep = su_rep[keep]
+        sv_flat = sv_flat[keep]
+        if not len(sv_flat):
+            return empty
 
     # wedge fan-out sizes (T2): each (u, v) reaches all w ∈ N+(v)
     vpos = np.searchsorted(svs, sv_flat)
@@ -301,24 +325,6 @@ def _count_partition_arrow(table):
     hrow = h_rows_sorted[vpos_c]
     wlens = np.where(has_adj, lens[hrow], 0)
     wstarts = starts[hrow]
-
-    # anchor target set T(u), built ONCE per group (edge-scale):
-    # unsalted — the seed pairs ARE N+(u); salted hubs — their full
-    # adjacency was halo-shipped
-    hub_ids = np.unique(su_rep[salted_flat])
-    t_u = [su_rep[~salted_flat]]
-    t_w = [sv_flat[~salted_flat]]
-    if len(hub_ids):
-        hpos = np.searchsorted(svs, hub_ids)
-        assert (hpos < len(svs)).all() and (svs[hpos] == hub_ids).all(), (
-            "salted hub adjacency missing from halo"
-        )
-        hub_row = h_rows_sorted[hpos]
-        t_u.append(np.repeat(hub_ids, lens[hub_row]))
-        t_w.append(_gather_segments(starts[hub_row], lens[hub_row], flat32))
-    target_keys = np.sort(
-        (np.concatenate(t_u).astype(np.int64) << 32) | np.concatenate(t_w)
-    )
 
     # chunked wedge expansion + closure probe (T1): bounded temporary
     # footprint regardless of group size; per-anchor partial sums (T4)
@@ -367,26 +373,41 @@ def triangles_per_vertex_kernel(
 ) -> DataFrame:
     """Per-vertex triangle counts via the partitioned CSR kernel: ``v, tri``.
 
-    Pipeline (adjacency-array shuffle + one applyInArrow shuffle):
+    Pipeline (one adjacency-array build + one applyInArrow shuffle):
       1. part(u) = pmod(xxhash64(u), k)  — deterministic hash partitioning
          (the reference's `random` node-parts file, P1).
-      2. one groupBy packs each vertex's sorted adjacency into an array
-         (C6 + the CSR payload) — every later movement ships one
-         Arrow-packed row per (vertex, group), never per edge (a flat
-         per-edge shuffle was measured 5× more expensive: per-row
-         shuffle overhead dwarfs the list encoding).
+      2. routing assignments (v, part, kind) are derived from the RAW
+         edge table + a broadcast hub set — cheap map-side-combined
+         distincts over (id, part) pairs. The adjacency-array aggregation
+         (C6 + the CSR payload) is then referenced by exactly ONE join,
+         so it executes once; the r2 form referenced it from six
+         consumers and Catalyst executed the collect_list agg six times
+         (no exchange reuse across the grouped-Arrow boundary — measured
+         ~40% of all task time at local[8]).
       3. halo rows: the adjacency array of every seed target, shipped to
          every group whose seeds point at it (P4 halo expansion as a
          join — duplicated per referencing group, exactly the reference's
          halo materialization, but transient in the shuffle; distinct =
-         P5 halo dedupe).
+         P5 halo dedupe). Every movement ships one Arrow-packed row per
+         (vertex, group), never per edge (a flat per-edge shuffle was
+         measured 5× more expensive).
       4. per-group Arrow-native numpy kernel (_count_partition_arrow).
+         The kernel exchange is AQE-coalesced BY SIZE — for wave-granular
+         scheduling at high parallelism, size the session's
+         ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` so the
+         coalesced task count stays ≥ ~4× the core count (an explicit
+         repartition(n_parts, part) was measured WORSE: 64 hash bins for
+         64 structured group ids collide balls-in-bins — max/mean task
+         skew 4.8 — and 64 grouped-Arrow tasks pay ~2× the per-task
+         Arrow hand-off overhead of 14 size-balanced ones).
 
     Hub salting: anchors with out-degree > ``salt_threshold`` would make
     one group's probe work quadratic in the hub degree. Their wedge seeds
-    (u, v) are split into ``n_salts`` buckets by hash(v); each bucket
-    gets the hub's full adjacency (needed as the intersection target) but
-    only its own seeds' halo lists; partial counts merge in a final agg.
+    (u, v) are split into ``n_salts`` buckets by dst % n_salts; each
+    bucket group receives the hub's full adjacency ONCE (it doubles as
+    the intersection target) plus only its own slice's halo lists, and
+    the kernel expands just the bucket's seeds; partial counts merge in
+    the final agg.
     """
     if n_parts is None:
         n_parts = oriented.sparkSession.sparkContext.defaultParallelism
@@ -405,57 +426,61 @@ def triangles_per_vertex_kernel(
             F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
         )
 
-    # one shuffle: oriented edges → sorted adjacency arrays + out-degree
-    # (C6 adjacency sort + the CSR payload, Arrow-packed one row per
-    # vertex — never per edge)
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs"),
-        F.count("*").alias("deg_out"),
+    # hub set (out-degree > threshold) — a count-only agg with map-side
+    # partials, broadcast to annotate edges; orientation caps out-degree
+    # near sqrt(2E) so this is small by construction
+    deg = oriented.groupBy("src").agg(F.count("*").alias("deg_out"))
+    hubs = deg.where(F.col("deg_out") > F.lit(salt_threshold)).select(
+        F.col("src").alias("hub")
     )
-    is_hub = F.col("deg_out") > F.lit(salt_threshold)
-    base_part = F.pmod(F.xxhash64("src"), F.lit(n_parts))
-
-    # seed rows: unsalted anchors carry full N+(u); salted hubs explode
-    # into n_salts bucket slices, each routed to its own group
-    unsalted = adj.where(~is_hub).select(
-        F.col("src").alias("v"),
-        (base_part * (n_salts + 1)).alias("part"),
-        F.col("nbrs").alias("seeds"),
-        F.lit(_K_SEED).alias("kind"),
-    )
-    salted = (
-        adj.where(is_hub)
+    base_part = F.pmod(F.xxhash64("src"), F.lit(n_parts)) * (n_salts + 1)
+    ep = (
+        oriented.join(F.broadcast(hubs), F.col("src") == F.col("hub"), "left")
         .select(
-            F.col("src").alias("v"),
-            base_part.alias("bp"),
-            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("b"),
-            "nbrs",
+            "src",
+            "dst",
+            F.when(
+                F.col("hub").isNotNull(),
+                base_part + 1 + F.pmod(F.col("dst").cast("long"), F.lit(n_salts)),
+            )
+            .otherwise(base_part)
+            .alias("part"),
         )
+    )
+
+    # routing assignments, all map-side-combined distincts on (id, part):
+    #   anchors — one row per (anchor, group with ≥1 of its seeds);
+    #   halos   — one row per (seed target, demanding group)  (P4 + P5)
+    anchors = (
+        ep.select(F.col("src").alias("v"), "part")
+        .distinct()
         .select(
             "v",
-            (F.col("bp") * (n_salts + 1) + 1 + F.col("b")).alias("part"),
-            F.expr(f"filter(nbrs, x -> pmod(xxhash64(x), {n_salts}) = b)").alias("seeds"),
-            F.lit(_K_SEED_SALTED).alias("kind"),
+            "part",
+            F.when(
+                F.pmod("part", F.lit(n_salts + 1)) == 0, F.lit(_K_SEED)
+            )
+            .otherwise(F.lit(_K_SEED_SALTED))
+            .alias("kind"),
         )
-        .where(F.size("seeds") > 0)
     )
-    seeds = unsalted.unionByName(salted)
-
-    # halo shipping (P4 as a join): each group needs the adjacency array
-    # of every vertex its seeds point at, plus every salted hub's own
-    # full adjacency (the intersection target) — distinct per group (P5)
-    demand = (
-        seeds.select(F.explode("seeds").alias("v"), "part")
-        .unionByName(salted.select("v", "part"))
-        .distinct()
-    )
-    halo = demand.join(adj.select(F.col("src").alias("v"), "nbrs"), "v").select(
-        "v", "part", F.col("nbrs").alias("seeds"), F.lit(_K_HALO).alias("kind")
+    halos = ep.select(F.col("dst").alias("v"), "part").distinct().select(
+        "v", "part", F.lit(_K_HALO).alias("kind")
     )
 
-    rows = seeds.unionByName(halo)
+    # THE adjacency build (C6 sort + CSR payload), executed exactly once:
+    # one groupBy packs each vertex's sorted adjacency into an array;
+    # one join routes a copy of it to every (group, kind) that needs it
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("seeds")
+    )
+    rows = anchors.unionByName(halos).join(
+        adj.withColumnRenamed("src", "v"), "v"
+    )
+
     per_group = rows.groupBy("part").applyInArrow(
-        lambda tab: _count_partition_arrow(tab), schema=_KERNEL_OUT_SCHEMA
+        lambda tab: _count_partition_arrow(tab, n_salts),
+        schema=_KERNEL_OUT_SCHEMA,
     )
     # merge salted partials
     return per_group.groupBy("v").agg(F.sum("tri").alias("tri"))
