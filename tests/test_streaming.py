@@ -16,6 +16,35 @@ def _write_batch(spark, path, rows):
     ).parquet(path)
 
 
+def test_windowed_event_counts_matches_batch(spark):
+    """The availableNow drain of the windowed agg must equal the batch
+    computation restricted to watermark-closed windows (win_end <=
+    max(ts) - delay) — the invariant the DuckDB oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from trianglecount_spark.streaming.edges_stream import windowed_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in windowed_event_counts(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("w"))
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .join(wm)
+        .where(F.col("win_start") + F.expr("INTERVAL 1 HOUR") <= F.col("w"))
+        .drop("w")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_edges_and_degrees(spark, tmp_path):
     import datetime as dt
 

@@ -381,6 +381,16 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_stream_windows(spark, sf_dir):
+    """Structured Streaming end-to-end: event-time window + watermark over
+    the events table, drained with availableNow into a parquet sink and
+    read back (streaming/edges_stream.py). [EXT] — the reference is
+    batch-only (SURVEY §2.5)."""
+    from trianglecount_spark.streaming.edges_stream import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -774,6 +784,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation": q_lpa_nation,
         "lineitem_agg": q_lineitem_agg,
         "events_sessions": q_events_sessions,
+        "events_stream_windows": q_events_stream_windows,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -1137,6 +1148,16 @@ o AS (
             "SELECT user_id, 1 + CAST(sum(CASE WHEN pts IS NULL THEN 0 "
             "WHEN epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions FROM x GROUP BY user_id"
+        ),
+        "events_stream_windows": (
+            # streaming append-mode emission = windows fully closed by the
+            # final watermark max(ts) - 2h (see windowed_event_counts)
+            "WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events) "
+            "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY 1, 2 "
+            "HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)"
         ),
         "docs_exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs, "

@@ -51,6 +51,62 @@ def stream_degree_counts(raw: DataFrame, window: str = "1 hour", watermark: str 
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+WINDOWED_EVENTS_SCHEMA = (
+    "win_start timestamp, event_type string, n_events long, value_cents long"
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """[EXT] End-to-end streaming windowed aggregation over the driver's
+    ``events`` table: file-source stream → event-time window + watermark →
+    append-mode parquet sink drained with ``availableNow`` → read back as
+    a batch DataFrame.
+
+    Deterministic by construction: after the final no-data micro-batch
+    the watermark settles at ``max(ts) - watermark_delay``, so the
+    emitted set is exactly the windows with
+    ``win_end <= max(ts) - delay`` — a closed-form predicate the DuckDB
+    oracle reproduces (see oracle_sql()['events_stream_windows']).
+    ``value`` is summed in integer cents (``floor(v*100 + 0.5)``) so the
+    aggregate is order-independent and hash-exact across engines.
+    """
+    import tempfile
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_cents")
+    )
+    out = tempfile.mkdtemp(prefix="tc_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="tc_stream_ckpt_")
+    run_available_now(agg, out, ckpt)
+    # explicit schema: an all-windows-open drain writes no files and a
+    # schemaless read of the empty dir would fail
+    return spark.read.schema(WINDOWED_EVENTS_SCHEMA).parquet(out)
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available, then stop — the testable and
     resumable incremental-batch mode."""
