@@ -45,6 +45,35 @@ def test_windowed_event_counts_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_session_event_counts_matches_batch(spark):
+    """Streamed session windows must equal batch-mode session_window
+    restricted to watermark-closed sessions (sess_end <= max(ts) - delay)."""
+    from pyspark.sql import functions as F
+
+    from trianglecount_spark.streaming.edges_stream import session_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in session_event_counts(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("w"))
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+        .join(wm)
+        .where(F.col("sess_end") <= F.col("w"))
+        .drop("w")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_edges_and_degrees(spark, tmp_path):
     import datetime as dt
 

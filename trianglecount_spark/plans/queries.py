@@ -391,6 +391,15 @@ def q_events_stream_windows(spark, sf_dir):
     return windowed_event_counts(spark, sf_dir)
 
 
+def q_events_stream_sessions(spark, sf_dir):
+    """Stateful streaming sessionization (session_window merge state +
+    watermark), availableNow-drained; the batch analog is
+    q_events_sessions. [EXT]."""
+    from trianglecount_spark.streaming.edges_stream import session_event_counts
+
+    return session_event_counts(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -785,6 +794,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_agg": q_lineitem_agg,
         "events_sessions": q_events_sessions,
         "events_stream_windows": q_events_stream_windows,
+        "events_stream_sessions": q_events_stream_sessions,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -1158,6 +1168,24 @@ o AS (
             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY 1, 2 "
             "HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)"
+        ),
+        "events_stream_sessions": (
+            # gaps-and-islands sessionization; >= gap starts a new session
+            # (session_window end bound is exclusive); emitted sessions are
+            # those fully closed by the final watermark max(ts) - 2h
+            "WITH x AS (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "s AS (SELECT *, sum(CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) >= 1800000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM x), "
+            "g AS (SELECT user_id, sid, min(ts) AS sess_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS sess_end, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid), "
+            "wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events) "
+            "SELECT sess_start, sess_end, user_id, n_events FROM g "
+            "WHERE sess_end <= (SELECT w FROM wm)"
         ),
         "docs_exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_docs, "

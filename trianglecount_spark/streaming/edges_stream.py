@@ -107,6 +107,55 @@ def windowed_event_counts(
     return spark.read.schema(WINDOWED_EVENTS_SCHEMA).parquet(out)
 
 
+SESSION_EVENTS_SCHEMA = (
+    "sess_start timestamp, sess_end timestamp, user_id long, n_events long"
+)
+
+
+def session_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """[EXT] Streaming sessionization over the ``events`` table via the
+    stateful session-window operator (``F.session_window`` — merging
+    state, not a tumbling bucket): events of one user belong to one
+    session while consecutive gaps are strictly under ``gap``; the
+    session's end is last-event + gap.
+
+    Append-mode emission is deterministic the same way as
+    ``windowed_event_counts``: after the final no-data micro-batch the
+    watermark is ``max(ts) - delay``, so exactly the sessions with
+    ``sess_end <= max(ts) - delay`` are emitted — the oracle reproduces
+    that with a gaps-and-islands window query (new session when the gap
+    is >= 30 min, mirroring session windows' exclusive end bound).
+    """
+    import tempfile
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="tc_sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="tc_sess_ckpt_")
+    run_available_now(agg, out, ckpt)
+    return spark.read.schema(SESSION_EVENTS_SCHEMA).parquet(out)
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available, then stop — the testable and
     resumable incremental-batch mode."""
