@@ -1,0 +1,105 @@
+"""Per-vertex graph metrics ([EXT]): local clustering coefficient and
+k-core decomposition.
+
+The reference computes per-vertex triangle counts with anchor
+attribution (g_sum, Final_updated_corrected.cu:57-219); the standard
+web-graph metrics on top of that need all-corner attribution (each
+triangle credits its three vertices) and degree normalization — both are
+pure DataFrame compositions here, no new kernel:
+
+- ``clustering_coefficient``: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)).
+  One wedge-join triangle enumeration + one explode of the 3 corners +
+  one hash agg — every step JVM-side, shuffles only on vertex id.
+- ``k_core``: iterative peeling (drop vertices with degree < k until a
+  fixpoint). Each round is one groupBy + two semi-joins — all key-
+  partitioned on vertex id, so at scale consecutive rounds reuse the
+  same hash partitioning. Runs on the shared ``iterate`` driver
+  (lineage truncation via localCheckpoint, lazy chaining between
+  convergence checks); the round count is capped so the result is also
+  expressible as a fixed unrolled SQL chain for the DuckDB oracle —
+  a fixpoint is stable under extra rounds, so early-stop and the
+  fixed-round oracle agree whenever the cap covers the peel depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trianglecount_spark.operators.canonicalize import degrees, orient
+from trianglecount_spark.operators.iterative import IterationLog, iterate
+from trianglecount_spark.operators.triangles import triangles_join
+
+
+def triangles_per_vertex_all(oriented: DataFrame) -> DataFrame:
+    """``v, tri`` with ALL-corner attribution: each (u ≺ v ≺ w) triangle
+    credits u, v and w once. Complements the anchor-attributed
+    ``triangles_per_vertex_join`` (reference g_sum semantics)."""
+    t = triangles_join(oriented)
+    corners = (
+        t.select(F.col("u").alias("v"))
+        .unionAll(t.select("v"))
+        .unionAll(t.select(F.col("w").alias("v")))
+    )
+    return corners.groupBy("v").agg(F.count("*").alias("tri"))
+
+
+def clustering_coefficient(sym_edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient over a canonical symmetric edge
+    table: ``v, deg, tri, lcc`` for every vertex, lcc = 0 when deg < 2.
+
+    tri/deg are exact integers and lcc is one double division of them,
+    so the result is bit-reproducible across engines (the oracle relies
+    on this — no rounding needed)."""
+    deg = degrees(sym_edges)
+    tri = triangles_per_vertex_all(orient(sym_edges, deg))
+    return deg.join(tri, "v", "left").select(
+        "v",
+        "deg",
+        F.coalesce("tri", F.lit(0)).alias("tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.lit(2.0)
+            * F.coalesce("tri", F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def k_core(
+    sym_edges: DataFrame, k: int, max_rounds: int = 8
+) -> tuple[DataFrame, IterationLog]:
+    """The k-core of a symmetric edge table: ``v, deg_core`` for the
+    vertices that survive peeling (repeatedly dropping vertices with
+    degree < k), with their degree inside the core.
+
+    ``max_rounds`` bounds the peel depth; on real graphs peeling
+    converges in a handful of rounds (degeneracy cascades are short),
+    and the ``iterate`` driver early-stops at the fixpoint."""
+
+    def step(e: DataFrame, i: int) -> DataFrame:
+        d = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = d.where(F.col("deg") >= k).select("src")
+        return e.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+
+    def delta(prev: DataFrame, cur: DataFrame) -> float:
+        a = prev.agg(F.count("*")).collect()[0][0]
+        b = cur.agg(F.count("*")).collect()[0][0]
+        # peeling only shrinks: equal counts ⇒ identical edge sets
+        return 0.0 if a == b else 1.0
+
+    state, log = iterate(
+        sym_edges.select("src", "dst"),
+        step,
+        delta,
+        max_iter=max_rounds,
+        check_every=2,
+    )
+    core = state.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("deg_core")
+    )
+    return core, log

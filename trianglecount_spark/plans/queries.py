@@ -252,6 +252,34 @@ def q_triangle_total_bipartite(spark, sf_dir):
     )
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per vertex over the copurchase graph
+    (operators/metrics.py): all-corner triangle attribution / degree
+    normalization; lcc is one double division of exact integers, so the
+    oracle comparison needs no rounding."""
+    from trianglecount_spark.operators.metrics import clustering_coefficient
+
+    return clustering_coefficient(copurchase_sym(spark, sf_dir))
+
+
+def q_kcore_suppliers(spark, sf_dir):
+    """k-core (k=30) of the part–supplier bipartite graph — the one
+    driver graph with real degree skew (supplier hubs ~520, part leaves
+    ~26 at sf0.01), so peeling cascades. Fixed-round-capped peeling
+    (operators/metrics.py) with early stop at the fixpoint; the oracle
+    unrolls the same 8 peel rounds (a fixpoint is stable under extra
+    rounds, so both sides agree whenever 8 covers the peel depth)."""
+    from trianglecount_spark.operators.metrics import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    core, _ = k_core(canonicalize_edges(raw), k=30, max_rounds=8)
+    return core
+
+
 def q_events_edges(spark, sf_dir):
     return events_pairs(spark, sf_dir)
 
@@ -795,6 +823,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
+        "clustering_coeff": q_clustering_coeff,
+        "kcore_suppliers": q_kcore_suppliers,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -1066,6 +1096,52 @@ FROM u
 """
 
 
+def _kcore_sql(k: int = 30, rounds: int = 8) -> str:
+    """The engine's k-core peeling (operators/metrics.py) unrolled as
+    ``rounds`` chained CTEs over the part–supplier bipartite graph."""
+    ctes = [
+        "raw AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, "
+        "1000000 + l_suppkey AS dst FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM raw "
+        "UNION ALL SELECT dst, src FROM raw)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT src AS v, count(*) AS deg "
+            f"FROM e{i - 1} GROUP BY 1)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"JOIN d{i} a ON a.v = e.src JOIN d{i} b ON b.v = e.dst "
+            f"WHERE a.deg >= {k} AND b.deg >= {k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS v, CAST(count(*) AS BIGINT) AS deg_core "
+        f"FROM e{rounds} GROUP BY src"
+    )
+
+
+_LCC_SQL = _CP + """
+, tri3 AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM o e1
+  JOIN o e2 ON e2.src = e1.dst
+  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT u AS v FROM tri3 UNION ALL SELECT v FROM tri3
+  UNION ALL SELECT w FROM tri3
+),
+t AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM corners GROUP BY v)
+SELECT d.v, d.deg, COALESCE(t.tri, 0) AS tri,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2.0 AS DOUBLE) * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1))
+            ELSE CAST(0.0 AS DOUBLE) END AS lcc
+FROM deg d LEFT JOIN t ON t.v = d.v
+"""
+
+
 def oracle() -> dict[str, str]:
     tri_sql = (
         "SELECT count(*) AS n_triangles FROM o e1 "
@@ -1169,6 +1245,8 @@ o AS (
             "FROM events GROUP BY 1, 2 "
             "HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)"
         ),
+        "clustering_coeff": _LCC_SQL,
+        "kcore_suppliers": _kcore_sql(30, 8),
         "events_stream_sessions": (
             # gaps-and-islands sessionization; >= gap starts a new session
             # (session_window end bound is exclusive); emitted sessions are
