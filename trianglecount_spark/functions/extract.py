@@ -110,7 +110,9 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
     urls = raw.select(F.col("src_url").alias("url")).unionByName(
         raw.select(F.col("dst_url").alias("url"))
     )
-    vertices = vertex_dictionary_scalable(urls, "url")
+    # the mapping joins against BOTH edge endpoints below — persist so the
+    # offset join over the (already persisted) numbering runs once
+    vertices = vertex_dictionary_scalable(urls, "url").persist()
     e = (
         raw.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
         .withColumnRenamed("vid", "src")
