@@ -42,6 +42,59 @@ def test_k_core_peeling_cascade(spark):
     assert core3.count() == 0
 
 
+def test_bfs_distances_goldens(spark):
+    from trianglecount_spark.operators.metrics import bfs_distances
+
+    # path 0-1-2-3-4 with a chord 0-3
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)])
+    dist, _ = bfs_distances(sym, 0, max_rounds=16)
+    got = {r.v: r.dist for r in dist.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    # disconnected component never reached
+    sym2 = _sym(spark, [(0, 1), (5, 6)])
+    dist2, _ = bfs_distances(sym2, 0, max_rounds=16)
+    got2 = {r.v: r.dist for r in dist2.collect()}
+    assert got2 == {0: 0, 1: 1}
+
+
+def test_personalized_pagerank_allclose_numpy(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from trianglecount_spark.operators.pagerank import pagerank
+
+    raw = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (1, 4)]
+    sym = _sym(spark, raw)
+    seeds = [0, 3]
+    tele = spark.createDataFrame(
+        [(s, 1.0 / len(seeds)) for s in seeds], "v long, s double"
+    )
+    ranks, _ = pagerank(sym, tol=0.0, max_iter=60, check_every=60, teleport=tele)
+    got = {r.v: r.rank for r in ranks.collect()}
+
+    und = {(a, b) for a, b in raw} | {(b, a) for a, b in raw}
+    verts = sorted({v for e in und for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in und:
+        A[idx[b], idx[a]] = 1.0
+    outdeg = A.sum(axis=0)
+    s = np.zeros(n)
+    for v in seeds:
+        s[idx[v]] = 1.0 / len(seeds)
+    alpha = 0.85
+    r = s.copy()
+    for _ in range(60):
+        tilde = alpha * (A @ (r / outdeg))
+        r = tilde + (1.0 - tilde.sum()) * s
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in verts:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
 def test_k_core_fixed_rounds_match_fixpoint(spark):
     # early stop (max_rounds ample) equals exact NumPy-style peeling
     import itertools

@@ -68,6 +68,43 @@ def clustering_coefficient(sym_edges: DataFrame) -> DataFrame:
     )
 
 
+def bfs_distances(
+    sym_edges: DataFrame, source: int, max_rounds: int = 32
+) -> tuple[DataFrame, IterationLog]:
+    """Single-source BFS shortest-path distances over a symmetric edge
+    table: ``v, dist`` for every vertex reachable from ``source``.
+
+    Frontier form: round ``i`` joins only the rows discovered in round
+    ``i−1`` against the edge table (the frontier), then folds candidates
+    into the visited set with a min-agg — on a first reach the distance
+    is already minimal (BFS level order), so the visited set only grows
+    and count stability is the fixpoint."""
+    spark = sym_edges.sparkSession
+    init = spark.range(1).select(
+        F.lit(source).cast("long").alias("v"), F.lit(0).cast("long").alias("dist")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # iterate() passes i = 0, 1, ...; round i expands the vertices
+        # first discovered in the previous round (dist == i)
+        frontier = state.where(F.col("dist") == i)
+        nxt = frontier.join(
+            sym_edges.withColumnRenamed("src", "v"), "v"
+        ).select(F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist"))
+        return (
+            state.unionByName(nxt).groupBy("v").agg(F.min("dist").alias("dist"))
+        )
+
+    def delta(prev: DataFrame, cur: DataFrame) -> float:
+        a = prev.agg(F.count("*")).collect()[0][0]
+        b = cur.agg(F.count("*")).collect()[0][0]
+        # the visited set only grows and first-reach distances are final:
+        # equal counts ⇒ fixpoint
+        return 0.0 if a == b else 1.0
+
+    return iterate(init, step, delta, max_iter=max_rounds, check_every=2)
+
+
 def k_core(
     sym_edges: DataFrame, k: int, max_rounds: int = 8
 ) -> tuple[DataFrame, IterationLog]:

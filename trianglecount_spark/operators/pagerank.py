@@ -46,6 +46,7 @@ def pagerank(
     state_dir: str | None = None,
     resume: bool = False,
     dangling_free: bool = False,
+    teleport: DataFrame | None = None,
 ) -> tuple[DataFrame, IterationLog]:
     """PageRank over a *directed* edge table ``src, dst``.
 
@@ -60,6 +61,12 @@ def pagerank(
     action disappears and each round is a single job (one shuffle join +
     one agg + the checkpoint). Do NOT set it on directed graphs with
     sinks — their teleport share would be silently dropped.
+
+    ``teleport`` (optional ``v, s`` with Σs = 1) makes this
+    *personalized* PageRank: the undelivered mass (teleport + dangling)
+    is redistributed by ``s`` instead of uniformly — the closure algebra
+    is unchanged, ``r'(v) = r~(v) + (1 − Σ r~)·s(v)``, still one job per
+    round. The uniform default is exactly ``teleport = 1/N``.
     """
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -68,6 +75,14 @@ def pagerank(
         .cache()
     )
     n = verts.count()
+    if teleport is not None:
+        # s joined once onto the (cached) vertex table; absent rows get 0
+        verts = (
+            verts.join(teleport.select("v", "s"), "v", "left")
+            .select("v", F.coalesce("s", F.lit(0.0)).alias("s"))
+            .cache()
+        )
+        verts.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ew = (
         edges.join(outdeg, "src")
@@ -77,7 +92,10 @@ def pagerank(
     )
     ew.count()
 
-    init = verts.select("v", F.lit(1.0 / n).alias("rank"))
+    if teleport is None:
+        init = verts.select("v", F.lit(1.0 / n).alias("rank"))
+    else:
+        init = verts.select("v", F.col("s").alias("rank"))
 
     def step(ranks: DataFrame, i: int) -> DataFrame:
         contribs = (
@@ -88,27 +106,41 @@ def pagerank(
         if dangling_free:
             # undelivered mass is exactly (1 - alpha): pure plan
             # transform, iterate()'s checkpoint is the round's only job
+            share = (
+                F.lit((1.0 - alpha) / n)
+                if teleport is None
+                else F.lit(1.0 - alpha) * F.col("s")
+            )
             return verts.join(contribs, "v", "left").select(
                 "v",
                 (
-                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.lit((1.0 - alpha) / n)
+                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0)) + share
                 ).alias("rank"),
             )
         tilde = verts.join(contribs, "v", "left").select(
             "v",
             (F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rt"),
+            *([] if teleport is None else [F.col("s")]),
         )
         # undelivered mass stays PLAN-side: a broadcast 1-row aggregate
         # crossJoined back in, instead of a per-round driver collect().
         # ``tilde`` appears twice in the plan but its shuffle exchanges
         # dedupe (ReusedExchange), so iterate()'s checkpoint remains the
         # round's single job with no driver round-trip.
+        if teleport is None:
+            mass = tilde.agg(
+                ((F.lit(1.0) - F.coalesce(F.sum("rt"), F.lit(0.0))) / n).alias(
+                    "_per_v"
+                )
+            )
+            return tilde.crossJoin(F.broadcast(mass)).select(
+                "v", (F.col("rt") + F.col("_per_v")).alias("rank")
+            )
         mass = tilde.agg(
-            ((F.lit(1.0) - F.coalesce(F.sum("rt"), F.lit(0.0))) / n).alias("_per_v")
+            (F.lit(1.0) - F.coalesce(F.sum("rt"), F.lit(0.0))).alias("_m")
         )
         return tilde.crossJoin(F.broadcast(mass)).select(
-            "v", (F.col("rt") + F.col("_per_v")).alias("rank")
+            "v", (F.col("rt") + F.col("_m") * F.col("s")).alias("rank")
         )
 
     def delta_fn(prev: DataFrame, cur: DataFrame) -> float:

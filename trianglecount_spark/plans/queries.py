@@ -252,6 +252,38 @@ def q_triangle_total_bipartite(spark, sf_dir):
     )
 
 
+def q_ppr_copurchase(spark, sf_dir):
+    """Personalized PageRank: 10 fixed rounds with the teleport
+    distribution uniform over the seed set {v : v % 50 == 0} — the
+    undelivered-mass closure redistributes by the seed vector instead of
+    1/N (operators/pagerank.py ``teleport``). Oracle: the same rounds
+    unrolled as CTEs with the seed CASE expression inline."""
+    sym = copurchase_sym(spark, sf_dir)
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    seeds = verts.where(F.col("v") % 50 == 0)
+    ns = seeds.count()
+    n = verts.count()
+    tele = seeds.select("v", F.lit(1.0 / ns).alias("s"))
+    ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10, teleport=tele)
+    return ranks.select(
+        "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
+    )
+
+
+def q_bfs_copurchase(spark, sf_dir):
+    """Single-source BFS distances from the minimum vertex id over the
+    copurchase graph (operators/metrics.py). Oracle: DuckDB RECURSIVE
+    CTE enumerating (v, dist) pairs level by level; min(dist) per vertex
+    is the shortest distance whenever the round cap covers the graph
+    diameter — and the engine's fixpoint stop guarantees the same."""
+    from trianglecount_spark.operators.metrics import bfs_distances
+
+    sym = copurchase_sym(spark, sf_dir)
+    source = sym.agg(F.min("src")).collect()[0][0]
+    dist, _ = bfs_distances(sym, int(source), max_rounds=24)
+    return dist
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per vertex over the copurchase graph
     (operators/metrics.py): all-corner triangle attribution / degree
@@ -825,6 +857,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": q_events_stream_sessions,
         "clustering_coeff": q_clustering_coeff,
         "kcore_suppliers": q_kcore_suppliers,
+        "ppr_copurchase": q_ppr_copurchase,
+        "bfs_copurchase": q_bfs_copurchase,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -884,6 +918,64 @@ def _pagerank_sql(k: int = 10, alpha: float = 0.85, prefix: str = _CP, digits: i
         + ",\n".join(ctes)
         + f"\nSELECT v, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
     )
+
+
+def _ppr_sql(
+    k: int = 10,
+    alpha: float = 0.85,
+    prefix: str = _CP,
+    digits: int = 4,
+    seed_mod: int = 50,
+) -> str:
+    """Personalized PageRank (operators/pagerank.py ``teleport``)
+    unrolled as ``k`` chained CTEs: teleport uniform over the seed set
+    {v : v % seed_mod == 0}, missing mass redistributed by the seed
+    vector — identical IEEE-754 op tree to the engine's general closure
+    path."""
+    seed_s = (
+        f"CASE WHEN v % {seed_mod} = 0 THEN (SELECT sv FROM ns) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    ctes = [
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        f"ns AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS sv "
+        f"FROM verts WHERE v % {seed_mod} = 0)",
+        "ew AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) / "
+        "(count(*) OVER (PARTITION BY src)) AS w FROM und)",
+        f"pr0 AS MATERIALIZED (SELECT v, {seed_s} AS rank FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT e.dst AS v, CAST({alpha} AS DOUBLE) * "
+            f"sum(p.rank * e.w) AS rt "
+            f"FROM ew e JOIN pr{i - 1} p ON p.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT verts.v, COALESCE(t{i}.rt, 0) + "
+            f"(CAST(1.0 AS DOUBLE) - (SELECT sum(rt) FROM t{i})) * "
+            f"(CASE WHEN verts.v % {seed_mod} = 0 THEN (SELECT sv FROM ns) "
+            f"ELSE CAST(0.0 AS DOUBLE) END) AS rank "
+            f"FROM verts LEFT JOIN t{i} ON t{i}.v = verts.v)"
+        )
+    return (
+        prefix
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
+    )
+
+
+_BFS_SQL = _CP.replace("WITH raw AS", "WITH RECURSIVE raw AS", 1) + """
+, bfs AS (
+  SELECT (SELECT min(src) FROM und) AS v, 0 AS dist
+  UNION
+  SELECT e.dst AS v, b.dist + 1 AS dist
+  FROM bfs b JOIN und e ON e.src = b.v
+  WHERE b.dist < 24
+)
+SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY v
+"""
 
 
 def _lpa_sql(k: int = 10, prefix: str = _CP) -> str:
@@ -1247,6 +1339,8 @@ o AS (
         ),
         "clustering_coeff": _LCC_SQL,
         "kcore_suppliers": _kcore_sql(30, 8),
+        "ppr_copurchase": _ppr_sql(10),
+        "bfs_copurchase": _BFS_SQL,
         "events_stream_sessions": (
             # gaps-and-islands sessionization; >= gap starts a new session
             # (session_window end bound is exclusive); emitted sessions are
