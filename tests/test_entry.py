@@ -18,22 +18,12 @@ def test_entry_smoke(spark):
 def test_queries_registry_shape(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 20
+    assert len(qs) >= 40
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
-    # only genuinely non-SQL-expressible ops may be rows-only (iterative algos,
-    # approximate ANN variants, stubbed multimodal featurizers)
+    # r2 invariant: EVERY registered query has an exact oracle
     rows_only = set(qs) - set(oracles)
-    allowed_rows_only = {
-        "pagerank_copurchase",
-        "components_copurchase",
-        "lpa_copurchase",
-        "web_pagerank",
-        "emb_knn_lsh",
-        "emb_knn_ivf",
-        "media_features",
-    }
-    assert rows_only <= allowed_rows_only, rows_only - allowed_rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_one_query_runs(spark):
