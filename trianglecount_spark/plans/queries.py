@@ -252,6 +252,47 @@ def q_triangle_total_bipartite(spark, sf_dir):
     )
 
 
+# DOULION sampling rate: keep a raw pair iff its md5 bucket (16 bits)
+# falls in the first 1/_TRI_SAMPLE_INV of the space — deterministic, so
+# the "approximate" count is exactly reproducible by the oracle. Each
+# triangle survives with p³; the unbiased estimator is count · inv³.
+_TRI_SAMPLE_INV = 4
+
+
+def q_triangle_estimate_sampled(spark, sf_dir):
+    """Approximate triangle count by DOULION edge sparsification
+    (Tsourakakis et al., KDD'09) with a DETERMINISTIC md5 coin: raw
+    copurchase pairs are kept when md5(src||'_'||dst) mod inv == 0, then
+    the exact pipeline (canonicalize → orient → wedge join) runs on the
+    1/inv-size graph — the 100 TB shape when the exact count is not
+    worth E^1.5 work. Estimator = sampled count · inv³ (each triangle
+    survives with p³). The md5 coin makes the estimate bit-reproducible
+    in the oracle, unlike an RNG."""
+    inv = _TRI_SAMPLE_INV
+    raw = copurchase_raw(spark, sf_dir)
+    coin = F.conv(F.substring(F.md5(F.concat_ws("_", "src", "dst")), 1, 4), 16, 10)
+    sampled = raw.where(coin.cast("long") % inv == 0)
+    sym = canonicalize_edges(sampled)
+    return triangles_join(orient(sym)).agg(
+        F.count("*").alias("n_sampled"),
+        (F.count("*") * F.lit(inv**3)).alias("n_triangles_est"),
+    )
+
+
+def q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping sets) — relational breadth the
+    reference lacks entirely (SURVEY §2.5): per-(flag, status) subtotals,
+    per-flag totals, and the grand total in one pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def q_ppr_copurchase(spark, sf_dir):
     """Personalized PageRank: 10 fixed rounds with the teleport
     distribution uniform over the seed set {v : v % 50 == 0} — the
@@ -859,6 +900,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_suppliers": q_kcore_suppliers,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "triangle_estimate_sampled": q_triangle_estimate_sampled,
+        "lineitem_rollup": q_lineitem_rollup,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -964,6 +1007,39 @@ def _ppr_sql(
         + ",\n".join(ctes)
         + f"\nSELECT v, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
     )
+
+
+# DOULION oracle: same md5 coin, same 1/inv sampled graph, same exact
+# pipeline — the estimate is deterministic, so it hash-compares.
+_TRI_SAMPLED_SQL = f"""
+WITH raw0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+raw AS (
+  SELECT src, dst FROM raw0
+  WHERE CAST('0x' || substring(md5(src || '_' || dst), 1, 4) AS BIGINT)
+        % {_TRI_SAMPLE_INV} = 0
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM raw WHERE src <> dst
+  )
+),
+deg AS (SELECT dst AS v, count(*) AS deg FROM und GROUP BY 1),
+o AS (
+  SELECT e.src, e.dst FROM und e
+  JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
+)
+SELECT count(*) AS n_sampled,
+       count(*) * {_TRI_SAMPLE_INV ** 3} AS n_triangles_est
+FROM o e1 JOIN o e2 ON e1.dst = e2.src
+JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
 
 
 _BFS_SQL = _CP.replace("WITH raw AS", "WITH RECURSIVE raw AS", 1) + """
@@ -1341,6 +1417,12 @@ o AS (
         "kcore_suppliers": _kcore_sql(30, 8),
         "ppr_copurchase": _ppr_sql(10),
         "bfs_copurchase": _BFS_SQL,
+        "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
         "events_stream_sessions": (
             # gaps-and-islands sessionization; >= gap starts a new session
             # (session_window end bound is exclusive); emitted sessions are
