@@ -118,3 +118,45 @@ def test_k_core_fixed_rounds_match_fixpoint(spark):
 
     want = set(collections.Counter(s for s, _ in cur).items())
     assert got == want
+
+
+def test_edge_support_goldens(spark):
+    from trianglecount_spark.operators.truss import edge_support
+
+    # diamond: shared edge (1,2) in 2 triangles, the rest in 1
+    sym = _sym(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    got = {(r.src, r.dst): r.support for r in edge_support(sym).collect()}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+    # pendant edge must appear with support 0
+    sym2 = _sym(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got2 = {(r.src, r.dst): r.support for r in edge_support(sym2).collect()}
+    assert got2[(2, 3)] == 0 and got2[(0, 1)] == 1
+
+
+def test_k_truss_peels_cascade(spark):
+    from trianglecount_spark.operators.truss import k_truss
+
+    # K4 with a pendant triangle hanging off vertex 3: the 4-truss keeps
+    # exactly the K4 (every edge in 2 triangles), peels the triangle
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    sym = _sym(spark, k4 + [(3, 4), (4, 5), (3, 5)])
+    truss, _ = k_truss(sym, k=4, max_rounds=8)
+    got = {(r.src, r.dst): r.support for r in truss.collect()}
+    assert got == {(a, b): 2 for a, b in k4}
+
+    # diamond: 4-truss unravels completely (the shared edge loses its
+    # support once the side edges go — a genuine 2-round cascade)
+    sym2 = _sym(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    truss2, _ = k_truss(sym2, k=4, max_rounds=8)
+    assert truss2.count() == 0
+
+
+def test_k_truss_of_clique_is_clique(spark):
+    from trianglecount_spark.operators.truss import k_truss
+
+    # K5 is its own 5-truss: every edge in exactly 3 triangles
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    truss, _ = k_truss(_sym(spark, k5), k=5, max_rounds=8)
+    got = {(r.src, r.dst): r.support for r in truss.collect()}
+    assert got == {(a, b): 3 for a, b in k5}

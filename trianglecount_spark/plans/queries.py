@@ -353,6 +353,28 @@ def q_kcore_suppliers(spark, sf_dir):
     return core
 
 
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support over the copurchase graph
+    (operators/truss.py) — the per-edge analog of the reference's
+    per-vertex g_sum (ShareKernelTCV62_update_v1.cu:185). Exact
+    integers, support-0 edges included."""
+    from trianglecount_spark.operators.truss import edge_support
+
+    return edge_support(copurchase_sym(spark, sf_dir))
+
+
+def q_ktruss_copurchase(spark, sf_dir):
+    """k-truss (k=10) of the copurchase graph (operators/truss.py):
+    iteratively drop edges in < 8 triangles until a fixpoint (7 peel
+    rounds at sf0.01, 4,974 surviving edges). The oracle unrolls 12
+    fixed rounds — peeling is monotone, so the early-stopping engine and
+    the fixed-round chain agree whenever the cap covers the depth."""
+    from trianglecount_spark.operators.truss import k_truss
+
+    truss, _ = k_truss(copurchase_sym(spark, sf_dir), k=10, max_rounds=12)
+    return truss
+
+
 def q_events_edges(spark, sf_dir):
     return events_pairs(spark, sf_dir)
 
@@ -898,6 +920,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": q_events_stream_sessions,
         "clustering_coeff": q_clustering_coeff,
         "kcore_suppliers": q_kcore_suppliers,
+        "edge_support": q_edge_support,
+        "ktruss_copurchase": q_ktruss_copurchase,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
@@ -1291,6 +1315,61 @@ def _kcore_sql(k: int = 30, rounds: int = 8) -> str:
     )
 
 
+def _ktruss_sql(k: int = 10, rounds: int = 12) -> str:
+    """The engine's k-truss peeling (operators/truss.py) unrolled as
+    ``rounds`` chained CTEs over the canonical (src < dst) copurchase
+    edges. Triangles enumerate directly off canonical edges (a<b, b<c ⇒
+    a<c — each triangle found once); the final SELECT reads the last
+    round's support table, which at a fixpoint IS the support measured
+    inside the truss."""
+    ctes = [
+        "c0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "WHERE a.l_partkey < b.l_partkey)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = "c0" if i == 1 else f"e{i - 1}"
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+            f"FROM {prev} e1 JOIN {prev} e2 ON e2.src = e1.dst "
+            f"JOIN {prev} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM ("
+            f"SELECT a AS u, b AS v FROM t{i} UNION ALL "
+            f"SELECT b, c FROM t{i} UNION ALL SELECT a, c FROM t{i}) GROUP BY u, v)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u AS src, v AS dst FROM s{i} "
+            f"WHERE sup >= {k - 2})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS src, v AS dst, CAST(sup AS BIGINT) AS support "
+        f"FROM s{rounds} WHERE sup >= {k - 2}"
+    )
+
+
+_EDGE_SUPPORT_SQL = _CP + """
+, canon AS (SELECT src, dst FROM und WHERE src < dst),
+tri3 AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM o e1
+  JOIN o e2 ON e2.src = e1.dst
+  JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup AS (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri3
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri3
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri3
+  ) GROUP BY u, v
+)
+SELECT c.src, c.dst, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+FROM canon c LEFT JOIN sup s ON s.u = c.src AND s.v = c.dst
+"""
+
+
 _LCC_SQL = _CP + """
 , tri3 AS (
   SELECT e1.src AS u, e1.dst AS v, e2.dst AS w FROM o e1
@@ -1415,6 +1494,8 @@ o AS (
         ),
         "clustering_coeff": _LCC_SQL,
         "kcore_suppliers": _kcore_sql(30, 8),
+        "edge_support": _EDGE_SUPPORT_SQL,
+        "ktruss_copurchase": _ktruss_sql(10, 12),
         "ppr_copurchase": _ppr_sql(10),
         "bfs_copurchase": _BFS_SQL,
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
