@@ -160,3 +160,24 @@ def test_k_truss_of_clique_is_clique(spark):
     truss, _ = k_truss(_sym(spark, k5), k=5, max_rounds=8)
     got = {(r.src, r.dst): r.support for r in truss.collect()}
     assert got == {(a, b): 3 for a, b in k5}
+
+
+def test_butterfly_count_goldens(spark):
+    from trianglecount_spark.operators.metrics import butterfly_count
+
+    def bip(pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    # K_{2,2} is exactly one butterfly; K_{2,3} has C(3,2)=3; K_{3,3} has 9
+    k22 = bip([(0, 10), (0, 11), (1, 10), (1, 11)])
+    k23 = bip([(a, b) for a in (0, 1) for b in (10, 11, 12)])
+    k33 = bip([(a, b) for a in (0, 1, 2) for b in (10, 11, 12)])
+    star = bip([(0, b) for b in range(10, 15)])
+    assert butterfly_count(k22).collect()[0][0] == 1
+    assert butterfly_count(k23).collect()[0][0] == 3
+    assert butterfly_count(k33).collect()[0][0] == 9
+    assert butterfly_count(star).collect()[0][0] == 0
+    # side-independence: both centers and auto agree (duplicates ignored)
+    k23_dup = bip([(a, b) for a in (0, 1) for b in (10, 11, 12)] * 2)
+    for c in ("src", "dst", None):
+        assert butterfly_count(k23_dup, center=c).collect()[0][0] == 3

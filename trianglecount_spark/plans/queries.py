@@ -375,6 +375,49 @@ def q_ktruss_copurchase(spark, sf_dir):
     return truss
 
 
+def q_butterflies_suppliers(spark, sf_dir):
+    """Butterfly (4-cycle) count of the part–supplier bipartite graph
+    (operators/metrics.py) — the bipartite cohesion motif where
+    triangles cannot exist. Wedge centers pinned to the part side (deg
+    ~4 leaves vs ~500-degree supplier hubs: ~10× less wedge volume than
+    centering on suppliers). Exact integer arithmetic throughout."""
+    from trianglecount_spark.operators.metrics import butterfly_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    bip = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return butterfly_count(bip, center="src")
+
+
+def q_graph_summary(spark, sf_dir):
+    """One-row global summary of the copurchase graph: |V|, |E|,
+    wedge count Σ C(deg,2), triangle count, and global transitivity
+    3T/W — the graph-level headline the reference prints per run
+    (Final_updated_corrected.cu: total triangle stdout). Integer
+    moments are exact; transitivity is one double expression of them,
+    so the oracle comparison needs no rounding."""
+    sym = copurchase_sym(spark, sf_dir)
+    deg = degrees(sym)
+    base = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.expr("sum(deg) div 2").alias("n_edges"),
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+    )
+    tri = triangles_join(orient(sym, deg)).agg(
+        F.count("*").alias("n_triangles")
+    )
+    return base.crossJoin(tri).select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+            "transitivity"
+        ),
+    )
+
+
 def q_events_edges(spark, sf_dir):
     return events_pairs(spark, sf_dir)
 
@@ -922,6 +965,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_suppliers": q_kcore_suppliers,
         "edge_support": q_edge_support,
         "ktruss_copurchase": q_ktruss_copurchase,
+        "butterflies_suppliers": q_butterflies_suppliers,
+        "graph_summary": q_graph_summary,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
@@ -1496,6 +1541,28 @@ o AS (
         "kcore_suppliers": _kcore_sql(30, 8),
         "edge_support": _EDGE_SUPPORT_SQL,
         "ktruss_copurchase": _ktruss_sql(10, 12),
+        "butterflies_suppliers": (
+            # pairs drawn from the supplier side (wedge centers = parts);
+            # the total is side-independent, arithmetic all-integer
+            "WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+            "FROM lineitem), "
+            "co AS (SELECT a.s AS s1, b.s AS s2, count(*) AS x FROM e a "
+            "JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2) "
+            "SELECT CAST(COALESCE(sum((x * (x - 1)) // 2), 0) AS BIGINT) "
+            "AS n_butterflies FROM co"
+        ),
+        "graph_summary": _CP
+        + (
+            ", b AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+            "CAST(sum(deg) // 2 AS BIGINT) AS n_edges, "
+            "CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM o e1 "
+            "JOIN o e2 ON e1.dst = e2.src "
+            "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) "
+            "SELECT n_vertices, n_edges, n_wedges, n_triangles, "
+            "CAST(3.0 AS DOUBLE) * n_triangles / n_wedges AS transitivity "
+            "FROM b, t"
+        ),
         "ppr_copurchase": _ppr_sql(10),
         "bfs_copurchase": _BFS_SQL,
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
