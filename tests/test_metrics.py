@@ -181,3 +181,24 @@ def test_butterfly_count_goldens(spark):
     k23_dup = bip([(a, b) for a in (0, 1) for b in (10, 11, 12)] * 2)
     for c in ("src", "dst", None):
         assert butterfly_count(k23_dup, center=c).collect()[0][0] == 3
+
+
+def test_link_prediction_jaccard_goldens(spark):
+    from trianglecount_spark.operators.metrics import link_prediction_jaccard
+
+    # 4-cycle: the two diagonals are the only non-adjacent pairs, each
+    # with 2 common neighbors and all degrees 2 -> jaccard exactly 1.0
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    got = {(r.u, r.w): (r.common, r.jaccard) for r in
+           link_prediction_jaccard(sym, min_common=2).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+    # adjacent pairs are excluded even with many common neighbors (K4)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert link_prediction_jaccard(_sym(spark, k4), min_common=1).count() == 0
+
+    # path 0-1-2: one candidate at min_common=1, filtered at 2
+    p = _sym(spark, [(0, 1), (1, 2)])
+    one = link_prediction_jaccard(p, min_common=1).collect()
+    assert [(r.u, r.w, r.common, r.jaccard) for r in one] == [(0, 2, 1, 1.0)]
+    assert link_prediction_jaccard(p, min_common=2).count() == 0

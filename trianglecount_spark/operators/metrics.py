@@ -68,6 +68,55 @@ def clustering_coefficient(sym_edges: DataFrame) -> DataFrame:
     )
 
 
+def link_prediction_jaccard(
+    sym_edges: DataFrame, min_common: int = 2
+) -> DataFrame:
+    """Common-neighbor link prediction over a symmetric edge table:
+    non-adjacent pairs ``u < w`` with ≥ ``min_common`` shared neighbors,
+    scored by neighborhood Jaccard cn / (deg(u) + deg(w) − cn). Output
+    ``u, w, common, jaccard``.
+
+    Shape: one wedge self-join on the center vertex (the same Σ C(d,2)
+    volume every common-neighbor method pays), one hash agg on the pair
+    key, an anti-join against the edge set, two degree joins. ``common``
+    and both degrees are exact integers and jaccard is one double
+    division of them — bit-reproducible, no rounding in the oracle.
+
+    Scale note: wedge volume is quadratic in hub degree and orientation
+    can NOT prune it here (unlike triangle counting, every center sees
+    all its neighbor pairs) — at web scale, cap or sample hub centers
+    (the DOULION-style coin in queries.q_triangle_estimate_sampled is
+    the template) or pre-filter to a candidate vertex set. ``min_common``
+    only bounds the *output*; the wedge stream is paid regardless."""
+    e1 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        e1.join(e2, "v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    existing = sym_edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    deg = degrees(sym_edges)
+    return (
+        cn.join(existing, ["u", "w"], "left_anti")
+        .join(deg.select(F.col("v").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("v").alias("w"), F.col("deg").alias("dw")), "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def butterfly_count(
     bip_edges: DataFrame, center: str | None = None
 ) -> DataFrame:

@@ -418,6 +418,17 @@ def q_graph_summary(spark, sf_dir):
     )
 
 
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction on the copurchase
+    graph (operators/metrics.py): non-adjacent part pairs sharing ≥ 12
+    co-purchase neighbors (~130k pairs at sf0.01), scored by
+    neighborhood Jaccard. Integer counts + one double division — exact
+    oracle, no rounding."""
+    from trianglecount_spark.operators.metrics import link_prediction_jaccard
+
+    return link_prediction_jaccard(copurchase_sym(spark, sf_dir), min_common=12)
+
+
 def q_events_edges(spark, sf_dir):
     return events_pairs(spark, sf_dir)
 
@@ -967,6 +978,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_copurchase": q_ktruss_copurchase,
         "butterflies_suppliers": q_butterflies_suppliers,
         "graph_summary": q_graph_summary,
+        "link_prediction": q_link_prediction,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
@@ -1550,6 +1562,18 @@ o AS (
             "JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2) "
             "SELECT CAST(COALESCE(sum((x * (x - 1)) // 2), 0) AS BIGINT) "
             "AS n_butterflies FROM co"
+        ),
+        "link_prediction": _CP
+        + (
+            ", cn AS (SELECT e1.dst AS u, e2.dst AS w, count(*) AS common "
+            "FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+            "GROUP BY 1, 2 HAVING count(*) >= 12), "
+            "cand AS (SELECT cn.u, cn.w, cn.common FROM cn "
+            "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
+            "WHERE e.src IS NULL) "
+            "SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common, "
+            "CAST(c.common AS DOUBLE) / (du.deg + dw.deg - c.common) AS jaccard "
+            "FROM cand c JOIN deg du ON du.v = c.u JOIN deg dw ON dw.v = c.w"
         ),
         "graph_summary": _CP
         + (
