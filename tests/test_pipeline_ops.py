@@ -176,3 +176,24 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_idx % 10 == 0 for r in rows)
     # video rows only (kind == 'video' for media_id % 3 == 2)
     assert {r.media_id % 3 for r in rows} == {2}
+
+
+def test_char_ngram_jaccard(docs, spark):
+    from trianglecount_spark.operators.dedup import char_ngrams
+
+    grams = char_ngrams(docs, n=5)
+    # golden: 'abcdef' -> {'abcde', 'bcdef'}
+    g = char_ngrams(
+        spark.createDataFrame([(9, "abcdef")], "doc_id long, text string"), n=5
+    )
+    assert {r.s for r in g.collect()} == {"abcde", "bcdef"}
+    # shorter than n -> no grams, not a descending-sequence crash
+    short = char_ngrams(
+        spark.createDataFrame([(8, "abc")], "doc_id long, text string"), n=5
+    )
+    assert short.count() == 0
+    # exact dup pair scores 1.0; unrelated docs stay below threshold
+    pairs = {(r.a, r.b): r.jac for r in jaccard_pairs(grams, threshold=0.3).collect()}
+    assert pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
+    assert (0, 3) not in pairs and (0, 4) not in pairs

@@ -57,6 +57,25 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n:
     )
 
 
+def char_ngrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Distinct character n-grams: ``<id_col>, s`` — the sub-word
+    analog of word ``shingles`` (robust to tokenization/whitespace
+    noise, the standard fingerprint base for near-dedup of noisy web
+    text). JVM-side transform over a position sequence; empty result
+    for docs shorter than ``n`` chars (sequence() would otherwise
+    descend)."""
+    grams = F.when(
+        F.length(text_col) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(id_col, F.explode(grams).alias("s")).distinct()
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8) -> DataFrame:
     """``<id_col>, h0..h{H-1}`` — min over md5(shingle || '#i') strings.
     String-min of a cryptographic hash is a valid uniform min-hash and is

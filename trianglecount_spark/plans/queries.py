@@ -659,6 +659,19 @@ def q_docs_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_shingles_df(spark, sf_dir), threshold=0.5)
 
 
+def q_docs_ngram_jaccard(spark, sf_dir):
+    """Character-5-gram Jaccard near-dup pairs (operators/dedup.py
+    ``char_ngrams`` + ``jaccard_pairs``) — the sub-word complement of
+    the word-shingle variant: tokenization-insensitive, so it catches
+    near-dups that differ by whitespace/punctuation edits. Same
+    inverted-index join shape; exact integers until one rounded
+    division."""
+    from trianglecount_spark.operators.dedup import char_ngrams, jaccard_pairs
+
+    grams = char_ngrams(_t(spark, sf_dir, "documents"), n=5)
+    return jaccard_pairs(grams, threshold=0.5)
+
+
 def q_docs_minhash_candidates(spark, sf_dir):
     from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatures
 
@@ -989,6 +1002,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
@@ -1644,6 +1658,19 @@ o AS (
         "docs_jaccard_pairs": _SHINGLES
         + (
             ", sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac "
+            "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
+            "JOIN sizes sb ON sb.doc_id = inter.b "
+            "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        "docs_ngram_jaccard": (
+            "WITH sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(range(1, length(text) - 3), "
+            "i -> substring(text, CAST(i AS INT), 5))) AS s "
+            "FROM documents WHERE length(text) >= 5), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
             "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac "
