@@ -429,6 +429,33 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction_jaccard(copurchase_sym(spark, sf_dir), min_common=12)
 
 
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase event matched to the
+    user's most recent click at-or-before it (operators/asof.py —
+    union + ordered-window as-of join, one key shuffle, no range-join
+    blowup). Clicks are pre-deduped to one row per (user, ts) by max
+    event_id so the match is deterministic; the oracle is DuckDB's
+    native ASOF LEFT JOIN over the same deduped stream."""
+    from trianglecount_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purch, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_click_id").alias("click_id")
+    )
+
+
 def q_events_edges(spark, sf_dir):
     return events_pairs(spark, sf_dir)
 
@@ -992,6 +1019,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_suppliers": q_butterflies_suppliers,
         "graph_summary": q_graph_summary,
         "link_prediction": q_link_prediction,
+        "events_attribution": q_events_attribution,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
@@ -1576,6 +1604,15 @@ o AS (
             "JOIN e b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2) "
             "SELECT CAST(COALESCE(sum((x * (x - 1)) // 2), 0) AS BIGINT) "
             "AS n_butterflies FROM co"
+        ),
+        "events_attribution": (
+            "WITH clicks AS (SELECT user_id, ts, max(event_id) AS click_id "
+            "FROM events WHERE event_type = 'click' GROUP BY 1, 2), "
+            "purch AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.event_id, p.user_id, p.ts, c.click_id FROM purch p "
+            "ASOF LEFT JOIN clicks c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "link_prediction": _CP
         + (
