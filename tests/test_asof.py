@@ -53,3 +53,47 @@ def test_asof_multiple_value_cols(spark):
     got = {r.name: (r.asof_price, r.asof_qty) for r in out.collect()}
     assert got["d"] == (21, 42)  # both columns come from the SAME winning row
     assert got["a"] == (10, 20)
+
+
+def test_interval_join_goldens(spark):
+    from datetime import datetime
+
+    from trianglecount_spark.operators.interval import interval_join
+
+    T = lambda m, s=0, us=0: datetime(2024, 1, 1, 0, m, s, us)
+    points = spark.createDataFrame(
+        [(1, T(2)), (2, T(5)), (3, T(10)), (4, T(4, 59, 999999))],
+        "pid long, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(100, T(0), T(5)), (200, T(4), T(6)), (300, T(20), T(25))],
+        "iid long, s timestamp, e timestamp",
+    )
+    out = interval_join(points, ivals, point_ts="ts", start_col="s", end_col="e")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    # end exclusive: pid=2 at t=5 not in [0,5); boundary microsecond is
+    assert got == {(1, 100), (4, 100), (4, 200), (2, 200)}
+
+    # bucket width smaller than intervals: same result (pure partitioning)
+    out2 = interval_join(
+        points, ivals, point_ts="ts", start_col="s", end_col="e", bucket_us=7_000_000
+    )
+    assert {(r.pid, r.iid) for r in out2.collect()} == got
+
+
+def test_interval_join_keyed(spark):
+    from datetime import datetime
+
+    from trianglecount_spark.operators.interval import interval_join
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    points = spark.createDataFrame(
+        [(1, 7, T(2)), (2, 8, T(2))], "pid long, u long, ts timestamp"
+    )
+    ivals = spark.createDataFrame(
+        [(100, 7, T(0), T(5))], "iid long, u long, s timestamp, e timestamp"
+    )
+    out = interval_join(
+        points, ivals, point_ts="ts", start_col="s", end_col="e", on="u"
+    )
+    assert {(r.pid, r.iid) for r in out.collect()} == {(1, 100)}

@@ -456,6 +456,36 @@ def q_events_attribution(spark, sf_dir):
     )
 
 
+def q_events_error_overlap(spark, sf_dir):
+    """Range-containment join: how many same-user 5-minute error
+    windows contain each purchase (operators/interval.py — bucketized
+    equi-join, never a BroadcastNestedLoop theta join). Left semantics:
+    purchases inside no window report 0. Oracle: the plain SQL theta
+    join DuckDB can afford at oracle scale."""
+    from trianglecount_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = interval_join(
+        purch.withColumnRenamed("user_id", "u"),
+        err, point_ts="ts", start_col="s", end_col="e", on="u",
+    )
+    n = pairs.groupBy("event_id").agg(F.count("*").alias("n_error_windows"))
+    return purch.join(n, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_error_windows", F.lit(0)).alias("n_error_windows"),
+    )
+
+
 def q_events_edges(spark, sf_dir):
     return events_pairs(spark, sf_dir)
 
@@ -1020,6 +1050,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "link_prediction": q_link_prediction,
         "events_attribution": q_events_attribution,
+        "events_error_overlap": q_events_error_overlap,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
@@ -1613,6 +1644,19 @@ o AS (
             "SELECT p.event_id, p.user_id, p.ts, c.click_id FROM purch p "
             "ASOF LEFT JOIN clicks c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "events_error_overlap": (
+            "WITH err AS (SELECT user_id AS u, ts AS s, "
+            "ts + INTERVAL 5 MINUTE AS e FROM events "
+            "WHERE event_type = 'error'), "
+            "purch AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "m AS (SELECT p.event_id, count(*) AS n FROM purch p "
+            "JOIN err ON err.u = p.user_id AND p.ts >= err.s AND p.ts < err.e "
+            "GROUP BY 1) "
+            "SELECT p.event_id, p.user_id, p.ts, "
+            "CAST(COALESCE(m.n, 0) AS BIGINT) AS n_error_windows "
+            "FROM purch p LEFT JOIN m ON m.event_id = p.event_id"
         ),
         "link_prediction": _CP
         + (
