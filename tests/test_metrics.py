@@ -202,3 +202,25 @@ def test_link_prediction_jaccard_goldens(spark):
     one = link_prediction_jaccard(p, min_common=1).collect()
     assert [(r.u, r.w, r.common, r.jaccard) for r in one] == [(0, 2, 1, 1.0)]
     assert link_prediction_jaccard(p, min_common=2).count() == 0
+
+
+def test_degree_assortativity_goldens(spark):
+    import numpy as np
+
+    from trianglecount_spark.operators.metrics import degree_assortativity
+
+    # star K_{1,3} is perfectly disassortative
+    row = degree_assortativity(_sym(spark, [(0, 1), (0, 2), (0, 3)])).collect()[0]
+    assert row.n_dir_edges == 6 and row.assortativity == -1.0
+
+    # irregular graph: matches numpy Pearson over directed degree pairs
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    import collections
+
+    deg = collections.Counter(a for a, _ in sym)
+    xs = np.array([deg[a] for a, b in sorted(sym)], dtype=float)
+    ys = np.array([deg[b] for a, b in sorted(sym)], dtype=float)
+    want = np.corrcoef(xs, ys)[0, 1]
+    got = degree_assortativity(_sym(spark, edges)).collect()[0].assortativity
+    assert abs(got - want) < 1e-12

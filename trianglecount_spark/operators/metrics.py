@@ -68,6 +68,39 @@ def clustering_coefficient(sym_edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(sym_edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over directed edge copies) of a symmetric edge table — one row
+    ``n_dir_edges, num, den, assortativity``.
+
+    On a symmetric table the x/y marginals coincide (Sy = Sx,
+    Syy = Sxx), so Pearson r collapses to the sqrt-free rational form
+    r = (n·Sxy − Sx²) / (n·Sxx − Sx²): every moment is an exact int64
+    (bounded ~1e16 at sf0.01, well inside both int64 and the oracle's
+    HUGEINT), and the single double division is bit-reproducible across
+    engines. Shape: the same two degree joins as ``orient`` + one
+    all-column aggregate — no extra shuffle beyond them."""
+    deg = degrees(sym_edges)
+    d_src = deg.select(F.col("v").alias("src"), F.col("deg").alias("dx"))
+    d_dst = deg.select(F.col("v").alias("dst"), F.col("deg").alias("dy"))
+    m = sym_edges.join(d_src, "src").join(d_dst, "dst")
+    agg = m.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return agg.select(
+        F.col("n").alias("n_dir_edges"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("assortativity"),
+    )
+
+
 def link_prediction_jaccard(
     sym_edges: DataFrame, min_common: int = 2
 ) -> DataFrame:

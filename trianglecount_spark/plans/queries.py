@@ -429,6 +429,29 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction_jaccard(copurchase_sym(spark, sf_dir), min_common=12)
 
 
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the copurchase graph
+    (operators/metrics.py) — sqrt-free rational Pearson form on the
+    symmetric edge table; exact integer moments, one double division."""
+    from trianglecount_spark.operators.metrics import degree_assortativity
+
+    return degree_assortativity(copurchase_sym(spark, sf_dir))
+
+
+def q_docs_top_tokens(spark, sf_dir):
+    """Corpus-level top-20 tokens by frequency with deterministic
+    (count desc, token asc) tie order — the exact-counting counterpart
+    of sketch-based heavy hitters."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(20)
+    )
+
+
 def q_events_attribution(spark, sf_dir):
     """Last-touch attribution: each purchase event matched to the
     user's most recent click at-or-before it (operators/asof.py —
@@ -1051,6 +1074,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "events_attribution": q_events_attribution,
         "events_error_overlap": q_events_error_overlap,
+        "degree_assortativity": q_degree_assortativity,
+        "docs_top_tokens": q_docs_top_tokens,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
@@ -1644,6 +1669,25 @@ o AS (
             "SELECT p.event_id, p.user_id, p.ts, c.click_id FROM purch p "
             "ASOF LEFT JOIN clicks c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "degree_assortativity": _CP
+        + (
+            ", m AS (SELECT du.deg AS dx, dd.deg AS dy FROM und e "
+            "JOIN deg du ON du.v = e.src JOIN deg dd ON dd.v = e.dst), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(dx) AS BIGINT) AS sx, "
+            "CAST(sum(dx * dx) AS BIGINT) AS sxx, "
+            "CAST(sum(dx * dy) AS BIGINT) AS sxy FROM m) "
+            "SELECT n AS n_dir_edges, "
+            "CAST(n * sxy - sx * sx AS BIGINT) AS num, "
+            "CAST(n * sxx - sx * sx AS BIGINT) AS den, "
+            "CAST(n * sxy - sx * sx AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity FROM s"
+        ),
+        "docs_top_tokens": (
+            "SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS t FROM documents) "
+            "GROUP BY t ORDER BY cnt DESC, t ASC LIMIT 20"
         ),
         "events_error_overlap": (
             "WITH err AS (SELECT user_id AS u, ts AS s, "
