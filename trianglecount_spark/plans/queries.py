@@ -935,6 +935,75 @@ def q_web_pagerank(spark, sf_dir):
     )
 
 
+def web_directed_graph(spark, sf_dir):
+    """Mined links → simple directed graph: distinct, self-loops dropped.
+    The directed-analytics input (HITS, reciprocity) — unlike the
+    triangle path, NOT symmetrized."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    # HITS references the edge table 2×rounds times — persist so the
+    # HTML miner runs once (at crawl scale this table is a materialized
+    # artifact anyway, like the mined table in edges_from_pages)
+    return (
+        raw.where(F.col("src_url") != F.col("dst_url"))
+        .select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+        .distinct()
+        .persist()
+    )
+
+
+def q_web_hits(spark, sf_dir):
+    """HITS hubs & authorities, 6 exact-integer rounds over the mined
+    directed web graph (operators/hits.py — unnormalized decimal
+    iteration, so scores are exact BIGINTs both engines agree on
+    bit-for-bit; ranking equals normalized HITS)."""
+    from trianglecount_spark.operators.hits import hits
+
+    scores = hits(web_directed_graph(spark, sf_dir), rounds=6)
+    return scores.select(
+        F.col("v").alias("url"),
+        F.col("hub").cast("long").alias("hub"),
+        F.col("auth").cast("long").alias("auth"),
+    )
+
+
+def q_web_host_graph(spark, sf_dir):
+    """Domain-graph contraction: mined page-level links rolled up to
+    (src_host, dst_host) with link multiplicity and distinct source
+    pages — the classic Common-Crawl host-graph build. Pure string
+    expr + one groupBy: fully JVM-side, one shuffle."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    host = lambda c: F.regexp_extract(c, r"^https?://([^/]+)", 1)  # noqa: E731
+    return (
+        raw.select(
+            host("src_url").alias("src_host"), host("dst_url").alias("dst_host")
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def q_web_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the directed web graph: one exact row
+    (n_edges, n_reciprocal, reciprocity). The reciprocal count is a
+    self-semi-join on the reversed pair; the ratio is a single division
+    of exact integers."""
+    g = web_directed_graph(spark, sf_dir)
+    rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = g.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count("*").alias("n_reciprocal")
+    )
+    n_edges = g.agg(F.count("*").alias("n_edges"))
+    return n_edges.crossJoin(n_recip).select(
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing queries (driver-visible; media derived from documents)
 # ---------------------------------------------------------------------------
@@ -1035,6 +1104,37 @@ o AS (
 """
 
 
+# directed web graph for HITS / reciprocity oracles
+_WEB_DIR = _WEB + """
+, g AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM mined
+        WHERE src_url <> dst_url)
+"""
+
+
+def _hits_sql(rounds: int) -> str:
+    """Unrolled exact-integer HITS over _WEB_DIR's ``g`` — the DuckDB
+    mirror of operators/hits.hits (HUGEINT accumulators ↔ Spark
+    decimal(38,0); final CAST to BIGINT so pandas keeps int64)."""
+    sql = _WEB_DIR + (
+        ", vset AS (SELECT src AS v FROM g UNION SELECT dst FROM g)"
+        ", h0 AS (SELECT v, CAST(1 AS HUGEINT) AS hub FROM vset)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", a{i} AS (SELECT vs.v, COALESCE(s.a, CAST(0 AS HUGEINT)) AS auth "
+            f"FROM vset vs LEFT JOIN (SELECT g.dst AS v, sum(h.hub) AS a "
+            f"FROM g JOIN h{i - 1} h ON h.v = g.src GROUP BY 1) s ON s.v = vs.v)"
+            f", h{i} AS (SELECT vs.v, COALESCE(s.h, CAST(0 AS HUGEINT)) AS hub "
+            f"FROM vset vs LEFT JOIN (SELECT g.src AS v, sum(a.auth) AS h "
+            f"FROM g JOIN a{i} a ON a.v = g.dst GROUP BY 1) s ON s.v = vs.v)"
+        )
+    return sql + (
+        f" SELECT h{rounds}.v AS url, CAST(h{rounds}.hub AS BIGINT) AS hub, "
+        f"CAST(a{rounds}.auth AS BIGINT) AS auth "
+        f"FROM h{rounds} JOIN a{rounds} ON h{rounds}.v = a{rounds}.v"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1099,6 +1199,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_vertex_dict": q_web_vertex_dict,
         "web_triangle_total": q_web_triangle_total,
         "web_pagerank": q_web_pagerank,
+        "web_hits": q_web_hits,
+        "web_host_graph": q_web_host_graph,
+        "web_reciprocity": q_web_reciprocity,
         "media_frame_plan": q_media_frame_plan,
         "media_features": q_media_features,
     }
@@ -1856,6 +1959,22 @@ o AS (
             "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
+        "web_hits": _hits_sql(6),
+        "web_host_graph": _WEB
+        + (
+            "SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host, "
+            "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host, "
+            "CAST(count(*) AS BIGINT) AS n_links FROM mined GROUP BY 1, 2"
+        ),
+        "web_reciprocity": _WEB_DIR
+        + (
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_edges, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM g "
+            " JOIN g r ON r.src = g.dst AND r.dst = g.src) AS n_reciprocal, "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM g "
+            " JOIN g r ON r.src = g.dst AND r.dst = g.src) / "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM g) AS reciprocity"
+        ),
         "media_frame_plan": (
             "SELECT doc_id AS media_id, "
             "unnest(range(0, 30 + doc_id % 100, 10)) AS frame_idx "
