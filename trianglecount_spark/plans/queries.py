@@ -279,6 +279,63 @@ def q_triangle_estimate_sampled(spark, sf_dir):
     )
 
 
+def q_docs_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling — per-language keep rates
+    (en 4/8, de 2/8, rest 1/8) decided by an md5 coin on doc_id, so the
+    sample is bit-reproducible on any engine/partitioning (the property
+    RNG-based `sample()` lacks, and the one that makes train/eval splits
+    auditable). Pure JVM expressions; filter runs at the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    coin = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    thresh = (
+        F.when(F.col("lang") == "en", 4).when(F.col("lang") == "de", 2).otherwise(1)
+    )
+    return docs.where(coin.cast("long") % 8 < thresh).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_events_top3_per_user(spark, sf_dir):
+    """Top-3 events by value per user with a total deterministic order
+    (value desc, ts, event_id). Catalyst's WindowGroupLimit pushes the
+    rank<=3 filter into per-partition partial top-k before the shuffle —
+    the scale shape for per-entity leaderboards."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "value")
+    )
+
+
+def q_events_value_quantiles(spark, sf_dir):
+    """Exact discrete quantiles (p25/p50/p75/p90) of value per
+    event_type: rank each row in its type (deterministic value,event_id
+    order), then pick rank == ceil(q·n). Exact by construction — the
+    selected values are actual data points, no interpolation doubles.
+    Scale note: exact quantiles need a per-group total order; this is
+    the honest O(n log n)-per-group form, and the few-distinct-groups
+    skew is real — at 100 TB use approx_percentile (t-digest sketch,
+    partial-aggregated) unless exactness is contractual."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.9)])).alias("q")
+    return (
+        r.select("event_type", "value", "rn", "n", qs)
+        .where(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select("event_type", "q", "value")
+    )
+
+
 def q_lineitem_rollup(spark, sf_dir):
     """ROLLUP aggregation (grouping sets) — relational breadth the
     reference lacks entirely (SURVEY §2.5): per-(flag, status) subtotals,
@@ -1180,6 +1237,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_copurchase": q_bfs_copurchase,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "events_top3_per_user": q_events_top3_per_user,
+        "events_value_quantiles": q_events_value_quantiles,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
@@ -1832,6 +1892,26 @@ o AS (
         "ppr_copurchase": _ppr_sql(10),
         "bfs_copurchase": _BFS_SQL,
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
+        "docs_sample_stratified": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
+            "AS BIGINT) % 8 < "
+            "CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 ELSE 1 END"
+        ),
+        "events_top3_per_user": (
+            "SELECT user_id, rn, event_id, value FROM ("
+            "SELECT user_id, event_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, ts ASC, event_id ASC"
+            ") AS rn FROM events) WHERE rn <= 3"
+        ),
+        "events_value_quantiles": (
+            "WITH r AS (SELECT event_type, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM events), "
+            "qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS q) "
+            "SELECT event_type, q, value FROM r, qs "
+            "WHERE rn = CAST(ceil(q * n) AS BIGINT)"
+        ),
         "lineitem_rollup": (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows "
