@@ -509,6 +509,41 @@ def q_docs_top_tokens(spark, sf_dir):
     )
 
 
+def q_docs_tfidf_top(spark, sf_dir):
+    """Top TF-IDF term per document. The idf is the *rational* variant
+    idf = N/df (ratio-of-exact-ints; same ranking as any monotone idf
+    for fixed df ordering within a doc... strictly: same ranking as
+    tf·(N/df), which is the textbook score modulo the log — chosen so
+    the score is ONE exact-int division, bit-equal on every engine,
+    instead of a log whose libm rounding differs). Deterministic
+    tie-break (score desc, token asc). Shape: two hash aggs (tf, df) +
+    broadcast of the 1-row N + WindowGroupLimit top-1 per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = toks.distinct().groupBy("t").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("t").alias("token"), "tf", "df", "score")
+    )
+
+
 def q_events_attribution(spark, sf_dir):
     """Last-touch attribution: each purchase event matched to the
     user's most recent click at-or-before it (operators/asof.py —
@@ -1025,6 +1060,17 @@ def q_web_hits(spark, sf_dir):
     )
 
 
+def q_web_scc(spark, sf_dir):
+    """Strongly connected components of the mined directed web graph
+    (operators/scc.py — FW-BW coloring: trim, min-label color, backward
+    extract). Label = min url in the SCC; the oracle computes the same
+    from a recursive-CTE transitive closure (exact at gate scale)."""
+    from trianglecount_spark.operators.scc import strongly_connected_components
+
+    scc = strongly_connected_components(web_directed_graph(spark, sf_dir))
+    return scc.select(F.col("v").alias("url"), "scc")
+
+
 def q_web_host_graph(spark, sf_dir):
     """Domain-graph contraction: mined page-level links rolled up to
     (src_host, dst_host) with link multiplicity and distinct source
@@ -1238,6 +1284,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
         "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_tfidf_top": q_docs_tfidf_top,
         "events_top3_per_user": q_events_top3_per_user,
         "events_value_quantiles": q_events_value_quantiles,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1260,6 +1307,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangle_total": q_web_triangle_total,
         "web_pagerank": q_web_pagerank,
         "web_hits": q_web_hits,
+        "web_scc": q_web_scc,
         "web_host_graph": q_web_host_graph,
         "web_reciprocity": q_web_reciprocity,
         "media_frame_plan": q_media_frame_plan,
@@ -1898,6 +1946,21 @@ o AS (
             "AS BIGINT) % 8 < "
             "CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 ELSE 1 END"
         ),
+        "docs_tfidf_top": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT t, CAST(count(*) AS BIGINT) AS df "
+            "FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "s AS (SELECT doc_id, t, tf, df, "
+            "CAST(tf * n_docs AS DOUBLE) / df AS score, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY "
+            "CAST(tf * n_docs AS DOUBLE) / df DESC, t ASC) AS rn "
+            "FROM tf JOIN df USING (t), n) "
+            "SELECT doc_id, t AS token, tf, df, score FROM s WHERE rn = 1"
+        ),
         "events_top3_per_user": (
             "SELECT user_id, rn, event_id, value FROM ("
             "SELECT user_id, event_id, value, row_number() OVER ("
@@ -2040,6 +2103,18 @@ o AS (
         ),
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "web_hits": _hits_sql(6),
+        # SCC oracle: closed-form via recursive-CTE transitive closure —
+        # scc(v) = min({v} ∪ {w : v →* w AND w →* v})
+        "web_scc": _WEB_DIR.replace("WITH pg", "WITH RECURSIVE pg", 1)
+        + (
+            ", reach AS (SELECT src AS a, dst AS b FROM g "
+            "UNION SELECT r.a, g.dst FROM reach r JOIN g ON g.src = r.b), "
+            "mut AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a), "
+            "vs AS (SELECT src AS v FROM g UNION SELECT dst FROM g) "
+            "SELECT vs.v AS url, least(vs.v, coalesce(min(m.w), vs.v)) AS scc "
+            "FROM vs LEFT JOIN mut m ON m.v = vs.v GROUP BY vs.v"
+        ),
         "web_host_graph": _WEB
         + (
             "SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host, "
