@@ -1,0 +1,85 @@
+"""Distributed cardinality sketch: a deterministic HyperLogLog.
+
+Pipeline breadth (SURVEY §2.5 analytics the reference lacks): Spark's
+own ``approx_count_distinct`` is HLL++ with engine-private hashing —
+useful, but unverifiable against an independent engine and not
+bit-stable across versions. This HLL is built from portable primitives
+(md5, string ops, integer max/sum) so the ENTIRE sketch — registers,
+scaled register sum, final estimate — is bit-identical on any engine,
+any partitioning, any cluster size, and therefore exactly
+oracle-checkable in DuckDB. Same trick as the portable-integer LSH/IVF
+paths (operators/knn.py).
+
+Construction (m = 256 buckets):
+- ``h = md5(value)``; bucket = first 2 hex chars (8 bits); the next
+  13 hex chars are a 52-bit value ``w``.
+- ``rho = leading-zero bits of w + 1`` computed WITHOUT floating logs:
+  4·(leading '0' hex chars) + a 16-case CASE on the first non-zero
+  char (+1); all-zero ⇒ 53.
+- register ``M_j = max(rho)`` per bucket — groupBy-max: partial
+  aggregation (map-side combine) makes this one tiny shuffle at any
+  scale, the whole point of sketches.
+- register sum kept EXACT: ``S = Σ_j 2^(53 − M_j)`` as BIGINT
+  (≤ 256·2^53 < 2^63), counting absent buckets at M=0. The classic
+  ``Σ 2^(−M_j)`` is an order-dependent float sum; scaling by 2^53
+  makes it an exact integer, so the only float op is the final
+  division.
+- ``E = alpha_256 · m² · 2^53 / S`` with
+  ``alpha_256 = 0.7213/(1 + 1.079/256)`` — one double expression over
+  exact integers, written with identical parenthesization in the
+  DuckDB oracle. No small-range (linear counting) branch: it needs
+  ln(), whose libm rounding differs across engines; callers sketching
+  < 3m distinct values should use exact counting anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M = 256
+# identical text in both engines; every literal CAST to DOUBLE because
+# both Spark and DuckDB otherwise parse bare decimal literals as DECIMAL
+# and would do decimal (not IEEE) arithmetic
+ALPHA_M2_SCALE = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / "
+    "CAST(256 AS DOUBLE)) * CAST(65536 AS DOUBLE) * "
+    "CAST(9007199254740992 AS DOUBLE)"
+)
+
+
+def hll_sketch(df: DataFrame, col: str) -> DataFrame:
+    """One row ``(n_buckets, s_scaled, estimate)`` — the HLL-estimated
+    distinct count of ``df[col]``. Exactly reproducible (see module
+    doc)."""
+    h = df.select(F.md5(F.col(col).cast("string")).alias("h"))
+    parts = h.select(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.substring("h", 3, 13).alias("w"),
+    )
+    z = F.length(F.regexp_extract("w", "^(0*)", 1))
+    d = F.substring(F.col("w"), 1, 13).substr(z + 1, F.lit(1))
+    lz = (
+        F.when(d.isin(*"89abcdef"), 0)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .when(d.isin("2", "3"), 2)
+        .otherwise(3)
+    )
+    rho = parts.select(
+        "bucket",
+        F.when(F.col("w") == "0" * 13, 53)
+        .otherwise(4 * z + lz + 1)
+        .alias("rho"),
+    )
+    regs = rho.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    return regs.agg(
+        F.count("*").alias("n_buckets"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)"))
+            + (F.lit(_M) - F.count("*")) * F.lit(1 << 53)
+        ).alias("s_scaled"),
+    ).select(
+        "n_buckets",
+        "s_scaled",
+        (F.expr(ALPHA_M2_SCALE) / F.col("s_scaled")).alias("estimate"),
+    )

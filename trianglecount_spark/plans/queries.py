@@ -509,6 +509,22 @@ def q_docs_top_tokens(spark, sf_dir):
     )
 
 
+def q_events_user_hll(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-user estimate next to the
+    exact count (operators/sketches.py — portable md5 registers, exact
+    BIGINT register sum, one final double division; bit-identical on
+    any engine/partitioning, hence exactly oracle-checkable — unlike
+    approx_count_distinct's engine-private HLL++)."""
+    from trianglecount_spark.operators.sketches import hll_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = hll_sketch(ev, "user_id")
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(sketch).select(
+        "n_exact", "n_buckets", "s_scaled", "estimate"
+    )
+
+
 def q_docs_tfidf_top(spark, sf_dir):
     """Top TF-IDF term per document. The idf is the *rational* variant
     idf = N/df (ratio-of-exact-ints; same ranking as any monotone idf
@@ -1285,6 +1301,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": q_lineitem_rollup,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_tfidf_top": q_docs_tfidf_top,
+        "events_user_hll": q_events_user_hll,
         "events_top3_per_user": q_events_top3_per_user,
         "events_value_quantiles": q_events_value_quantiles,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1945,6 +1962,30 @@ o AS (
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
             "AS BIGINT) % 8 < "
             "CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 ELSE 1 END"
+        ),
+        "events_user_hll": (
+            "WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events), "
+            "p AS (SELECT CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS bucket, "
+            "substring(h, 3, 13) AS w FROM h), "
+            "r AS (SELECT bucket, CASE WHEN w = '0000000000000' THEN 53 ELSE "
+            "4 * length(regexp_extract(w, '^(0*)', 1)) + (CASE "
+            "WHEN substring(w, length(regexp_extract(w, '^(0*)', 1)) + 1, 1) "
+            "IN ('8','9','a','b','c','d','e','f') THEN 0 "
+            "WHEN substring(w, length(regexp_extract(w, '^(0*)', 1)) + 1, 1) "
+            "IN ('4','5','6','7') THEN 1 "
+            "WHEN substring(w, length(regexp_extract(w, '^(0*)', 1)) + 1, 1) "
+            "IN ('2','3') THEN 2 ELSE 3 END) + 1 END AS rho FROM p), "
+            "regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY 1), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+            "CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) "
+            "+ (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) "
+            "AS s_scaled FROM regs), "
+            "x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact "
+            "FROM events) "
+            "SELECT n_exact, n_buckets, s_scaled, "
+            "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / "
+            "CAST(256 AS DOUBLE)) * CAST(65536 AS DOUBLE) * "
+            "CAST(9007199254740992 AS DOUBLE) / s_scaled AS estimate FROM x, s"
         ),
         "docs_tfidf_top": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
