@@ -746,6 +746,17 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_stream_incremental(spark, sf_dir):
+    """Incremental triangle maintenance over streamed micro-batches
+    (streaming/incremental.py — foreachBatch, delta-proportional work,
+    arrival-order attribution). The maintained totals must equal the
+    batch computation exactly — which is the oracle."""
+    from trianglecount_spark.streaming.incremental import incremental_triangle_count
+
+    row = incremental_triangle_count(spark, events_pairs(spark, sf_dir), n_files=4)
+    return row.select("n_edges", "n_triangles")
+
+
 def q_events_stream_windows(spark, sf_dir):
     """Structured Streaming end-to-end: event-time window + watermark over
     the events table, drained with availableNow into a parquet sink and
@@ -1282,6 +1293,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation": q_lpa_nation,
         "lineitem_agg": q_lineitem_agg,
         "events_sessions": q_events_sessions,
+        "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
         "clustering_coeff": q_clustering_coeff,
@@ -1842,6 +1854,13 @@ o AS (
             "min(n_nationkey) OVER (PARTITION BY n_regionkey) AS label FROM nation"
         ),
         "events_edges": _EV + "SELECT src, dst FROM p",
+        "events_stream_incremental": _EV
+        + (
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM p e1 "
+            "JOIN p e2 ON e1.dst = e2.src "
+            "JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles"
+        ),
         "events_triangle_total": _EV
         + (
             "SELECT count(*) AS n_triangles FROM p e1 "
