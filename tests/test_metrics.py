@@ -224,3 +224,18 @@ def test_degree_assortativity_goldens(spark):
     want = np.corrcoef(xs, ys)[0, 1]
     got = degree_assortativity(_sym(spark, edges)).collect()[0].assortativity
     assert abs(got - want) < 1e-12
+
+
+def test_clique4_goldens(spark):
+    from trianglecount_spark.operators.canonicalize import canonicalize_edges, orient
+    from trianglecount_spark.operators.metrics import clique4_count
+
+    def k4(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return clique4_count(orient(canonicalize_edges(df))).collect()[0].n_4cliques
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    assert k4(k5) == 5  # C(5,4)
+    assert k4([(a, b) for a in range(4) for b in range(4) if a < b]) == 1
+    # K4 minus one edge has no 4-clique but 2 triangles
+    assert k4([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]) == 0

@@ -77,3 +77,22 @@ def test_synth_powerlaw_deterministic_partition_independent(spark):
         deg[d] += 1
     degs = sorted(deg.values())
     assert degs[-1] > 20 * degs[len(degs) // 2]
+
+
+def test_read_pages_parquet_and_iceberg_gate(spark, tmp_path):
+    from trianglecount_spark.sources.catalog import iceberg_available, read_pages
+    from trianglecount_spark.sources.pages import make_pages
+
+    p = str(tmp_path / "pages")
+    make_pages(spark, n_pages=16).write.parquet(p)
+    df = read_pages(spark, p, fmt="parquet")
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.count() == 16
+
+    # no Iceberg jar in this sandbox: availability probe must say no and
+    # the reader must fail with the configuration message, not a JVM error
+    assert not iceberg_available(spark, "crawl")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="Iceberg catalog"):
+        read_pages(spark, "crawl.db.pages", fmt="iceberg")

@@ -271,3 +271,29 @@ def k_core(
         F.count("*").alias("deg_core")
     )
     return core, log
+
+
+def clique4_count(oriented: DataFrame) -> DataFrame:
+    """Number of 4-cliques — one row ``n_4cliques``.
+
+    Input: degree-oriented edges (operators/canonicalize.orient). The
+    orientation is induced by a TOTAL vertex order (degree, id), so
+    every clique's edges point consistently and each K4 matches the
+    pattern u→v→w→x with closures (u,w),(u,x),(v,x) exactly once. Shape:
+    the triangle wedge-join (bounded by oriented out-degree ≤ O(√E))
+    extended one level — one join of triangles × edges on w, then two
+    closure semi-joins against the 16-byte/row edge set (broadcast-able
+    exactly like triangles_join's closure; at 100 TB the same
+    shuffle-closure fallback applies)."""
+    from trianglecount_spark.operators.triangles import triangles_join
+
+    t = triangles_join(oriented)
+    e_wx = oriented.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    e_ux = oriented.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+    e_vx = oriented.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    return (
+        t.join(e_wx, "w")
+        .join(e_ux, ["u", "x"], "left_semi")
+        .join(e_vx, ["v", "x"], "left_semi")
+        .agg(F.count("*").alias("n_4cliques"))
+    )

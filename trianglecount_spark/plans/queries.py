@@ -486,6 +486,24 @@ def q_link_prediction(spark, sf_dir):
     return link_prediction_jaccard(copurchase_sym(spark, sf_dir), min_common=12)
 
 
+def q_clique4(spark, sf_dir):
+    """4-clique count on the DOULION-sampled copurchase graph — the
+    wedge-join triangle pattern extended one level
+    (operators/metrics.clique4_count). Host graph: the md5-coin 1/4
+    edge sample (same derivation as triangle_estimate_sampled) — the
+    full copurchase graph's order-cliques make exhaustive K4
+    ENUMERATION quadratically heavier than triangle counting (each
+    k-order-clique holds C(k,4) of them); sampling thins cliques by p⁶,
+    which is exactly the DOULION argument applied one motif up."""
+    from trianglecount_spark.operators.metrics import clique4_count
+
+    inv = _TRI_SAMPLE_INV
+    raw = copurchase_raw(spark, sf_dir)
+    coin = F.conv(F.substring(F.md5(F.concat_ws("_", "src", "dst")), 1, 4), 16, 10)
+    sampled = raw.where(coin.cast("long") % inv == 0)
+    return clique4_count(orient(canonicalize_edges(sampled)))
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Degree assortativity of the copurchase graph
     (operators/metrics.py) — sqrt-free rational Pearson form on the
@@ -1305,6 +1323,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "events_attribution": q_events_attribution,
         "events_error_overlap": q_events_error_overlap,
+        "clique4": q_clique4,
         "degree_assortativity": q_degree_assortativity,
         "docs_top_tokens": q_docs_top_tokens,
         "ppr_copurchase": q_ppr_copurchase,
@@ -1430,7 +1449,7 @@ def _ppr_sql(
 
 # DOULION oracle: same md5 coin, same 1/inv sampled graph, same exact
 # pipeline — the estimate is deterministic, so it hash-compares.
-_TRI_SAMPLED_SQL = f"""
+_CP_SAMPLED = f"""
 WITH raw0 AS (
   SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -1454,7 +1473,9 @@ o AS (
   JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
   WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
 )
-SELECT count(*) AS n_sampled,
+"""
+
+_TRI_SAMPLED_SQL = _CP_SAMPLED + f"""SELECT count(*) AS n_sampled,
        count(*) * {_TRI_SAMPLE_INV ** 3} AS n_triangles_est
 FROM o e1 JOIN o e2 ON e1.dst = e2.src
 JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
@@ -1916,6 +1937,15 @@ o AS (
             "SELECT p.event_id, p.user_id, p.ts, c.click_id FROM purch p "
             "ASOF LEFT JOIN clicks c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "clique4": _CP_SAMPLED
+        + (
+            "SELECT CAST(count(*) AS BIGINT) AS n_4cliques "
+            "FROM o ab JOIN o bc ON bc.src = ab.dst "
+            "JOIN o ac ON ac.src = ab.src AND ac.dst = bc.dst "
+            "JOIN o cd ON cd.src = bc.dst "
+            "JOIN o ad ON ad.src = ab.src AND ad.dst = cd.dst "
+            "JOIN o bd ON bd.src = ab.dst AND bd.dst = cd.dst"
         ),
         "degree_assortativity": _CP
         + (
