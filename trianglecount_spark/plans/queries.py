@@ -578,6 +578,57 @@ def q_docs_tfidf_top(spark, sf_dir):
     )
 
 
+def q_events_value_outliers(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3) — deterministic because the
+    moments are exact int64 (integer cents: n·S2 − S1² exact), IEEE
+    sqrt is correctly rounded by spec, and the one division is IEEE:
+    z = (x·n − S1) / sqrt(n·S2 − S1²) is bit-identical on any engine.
+    Shape: one groupBy for the 5-row moment table, broadcast back —
+    two passes over events, no window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    z = (F.col("cents") * F.col("n") - F.col("s1")) / F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    return (
+        ev.join(F.broadcast(mom), "event_type")
+        .select("event_id", "event_type", "cents", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3)
+    )
+
+
+def q_events_rolling_avg(spark, sf_dir):
+    """Per-user trailing 3-event moving average (window ROWS BETWEEN 2
+    PRECEDING AND CURRENT), deterministic order (ts, event_id); the
+    average is an exact-int-cents sum over an exact count — one IEEE
+    division."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        (F.sum("cents").over(w) / F.count("*").over(w)).alias("avg3"),
+    )
+
+
 def q_events_attribution(spark, sf_dir):
     """Last-touch attribution: each purchase event matched to the
     user's most recent click at-or-before it (operators/asof.py —
@@ -1333,6 +1384,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_tfidf_top": q_docs_tfidf_top,
         "events_user_hll": q_events_user_hll,
+        "events_value_outliers": q_events_value_outliers,
+        "events_rolling_avg": q_events_rolling_avg,
         "events_top3_per_user": q_events_top3_per_user,
         "events_value_quantiles": q_events_value_quantiles,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -2011,6 +2064,26 @@ o AS (
             "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) "
             "AS BIGINT) % 8 < "
             "CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 ELSE 1 END"
+        ),
+        "events_value_outliers": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(cents) AS BIGINT) AS s1, "
+            "CAST(sum(cents * cents) AS BIGINT) AS s2 FROM c GROUP BY 1) "
+            "SELECT event_id, c.event_type, cents, "
+            "(cents * n - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) AS z "
+            "FROM c JOIN s ON s.event_type = c.event_type "
+            "WHERE abs((cents * n - s1) / "
+            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) > 3"
+        ),
+        "events_rolling_avg": (
+            "WITH c AS (SELECT user_id, event_id, ts, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, event_id, cents, "
+            "CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w AS avg3 "
+            "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         ),
         "events_user_hll": (
             "WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events), "
