@@ -103,3 +103,38 @@ def test_stratified_sample_filter_is_scan_side(spark):
 
     plan = _plan(q_docs_sample_stratified(spark, SF))
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_aqe_splits_skewed_join(spark):
+    # scale hygiene: hub-key skew in a shuffle join must be split by AQE
+    # at runtime (thresholds lowered so the property is testable at this
+    # size; production sizes hit the default thresholds the same way)
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 365_000
+        executed = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
