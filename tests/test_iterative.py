@@ -201,3 +201,37 @@ def test_pagerank_resume(spark, tmp_path):
     b = {r.v: r.rank for r in fresh.collect()}
     assert all(abs(a[v] - b[v]) < 1e-8 for v in a)
     assert log2.rounds[0]["round"] > 7  # actually resumed past round 8
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trianglecount_spark.operators.pagerank import pagerank
+
+    rng = np.random.default_rng(5)
+    n = 12
+    rows = [
+        (int(a), int(b), int(w))
+        for (a, b), w in zip(
+            {(int(x), int(y)) for x, y in rng.integers(0, n, size=(40, 2)) if x != y},
+            rng.integers(1, 6, size=200),
+        )
+    ]
+    wg = spark.createDataFrame(rows, "src long, dst long, wt long")
+    ranks, _ = pagerank(wg, tol=0.0, max_iter=20, check_every=20, weight="wt")
+    got = {r.v: r.rank for r in ranks.collect()}
+
+    verts = sorted({x for a, b, _ in rows for x in (a, b)})
+    idx = {v: i for i, v in enumerate(verts)}
+    m = np.zeros((len(verts), len(verts)))
+    wout = {}
+    for a, b, w in rows:
+        wout[a] = wout.get(a, 0) + w
+    for a, b, w in rows:
+        m[idx[b], idx[a]] += w / wout[a]
+    r = np.full(len(verts), 1.0 / len(verts))
+    for _ in range(20):
+        rt = 0.85 * (m @ r)
+        r = rt + (1.0 - rt.sum()) / len(verts)
+    assert np.allclose([got[v] for v in verts], r, atol=1e-12)

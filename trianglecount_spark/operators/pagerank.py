@@ -47,6 +47,7 @@ def pagerank(
     resume: bool = False,
     dangling_free: bool = False,
     teleport: DataFrame | None = None,
+    weight: str | None = None,
 ) -> tuple[DataFrame, IterationLog]:
     """PageRank over a *directed* edge table ``src, dst``.
 
@@ -67,6 +68,12 @@ def pagerank(
     is redistributed by ``s`` instead of uniformly — the closure algebra
     is unchanged, ``r'(v) = r~(v) + (1 − Σ r~)·s(v)``, still one job per
     round. The uniform default is exactly ``teleport = 1/N``.
+
+    ``weight`` names an integer edge-weight column: contributions become
+    ``rank(u)·w(u,v)/W_out(u)`` (W_out = Σ out-weights, an exact integer
+    sum, so the per-edge fraction is one IEEE division — as
+    deterministic as the unweighted 1/outdeg). Same plan shape: the
+    normalized weight folds into the cached edge table once.
     """
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -83,10 +90,12 @@ def pagerank(
             .cache()
         )
         verts.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    agg_out = F.count("*") if weight is None else F.sum(weight)
+    outdeg = edges.groupBy("src").agg(agg_out.alias("outdeg"))
+    per_edge = F.lit(1.0) if weight is None else F.col(weight).cast("double")
     ew = (
         edges.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .select("src", "dst", (per_edge / F.col("outdeg")).alias("w"))
         .repartition("src")
         .cache()
     )

@@ -1167,6 +1167,17 @@ def q_web_scc(spark, sf_dir):
     return scc.select(F.col("v").alias("url"), "scc")
 
 
+def q_web_components(spark, sf_dir):
+    """Weakly connected components of the mined web graph, on STRING
+    vertex keys (urls) — large-star/small-star is label-type-generic
+    (all comparisons are min/least), so the same operator that labels
+    int64 graphs labels url graphs; comp = lexicographic min url."""
+    from trianglecount_spark.operators.components import connected_components
+
+    comp, _log = connected_components(web_directed_graph(spark, sf_dir))
+    return comp.select(F.col("v").alias("url"), "comp")
+
+
 def q_web_host_graph(spark, sf_dir):
     """Domain-graph contraction: mined page-level links rolled up to
     (src_host, dst_host) with link multiplicity and distinct source
@@ -1200,6 +1211,34 @@ def q_web_reciprocity(spark, sf_dir):
         "n_edges",
         "n_reciprocal",
         (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+    )
+
+
+def q_web_pagerank_weighted(spark, sf_dir):
+    """Weighted DIRECTED PageRank over the mined link graph: edge weight
+    = link multiplicity, contributions rank·w/W_out, sinks handled by
+    the missing-mass closure (this graph HAS dangling urls — targets
+    outside the crawl). operators/pagerank.py ``weight=``; oracle:
+    the same 10 rounds unrolled with the identical weighted closure."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    wg = (
+        raw.where(F.col("src_url") != F.col("dst_url"))
+        .groupBy(F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+        .agg(F.count("*").alias("wt"))
+        .persist()
+    )
+    n = (
+        wg.select(F.col("src").alias("v"))
+        .unionByName(wg.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    ranks, _log = pagerank(wg, tol=0.0, max_iter=10, check_every=10, weight="wt")
+    return ranks.select(
+        F.col("v").alias("url"),
+        F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n"),
     )
 
 
@@ -1301,6 +1340,43 @@ o AS (
   WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
 )
 """
+
+
+def _wpr_sql(k: int = 10, alpha: float = 0.85, digits: int = 4) -> str:
+    """Weighted directed PageRank (operators/pagerank.py ``weight=``)
+    unrolled over the mined link graph with multiplicity weights —
+    identical missing-mass closure as _pagerank_sql, per-edge fraction
+    wt/W_out (exact-integer W_out, one IEEE division per edge)."""
+    ctes = [
+        (
+            "wg AS MATERIALIZED (SELECT src_url AS src, dst_url AS dst, "
+            "CAST(count(*) AS BIGINT) AS wt FROM mined "
+            "WHERE src_url <> dst_url GROUP BY 1, 2)"
+        ),
+        "verts AS MATERIALIZED (SELECT src AS v FROM wg UNION SELECT dst FROM wg)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        (
+            "ew AS MATERIALIZED (SELECT src, dst, CAST(wt AS DOUBLE) / "
+            "(sum(wt) OVER (PARTITION BY src)) AS w FROM wg)"
+        ),
+        "pr0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT e.dst AS v, CAST({alpha} AS DOUBLE) * sum(p.rank * e.w) AS rt "
+            f"FROM ew e JOIN pr{i - 1} p ON p.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT verts.v, COALESCE(t{i}.rt, 0) + "
+            f"(CAST(1.0 AS DOUBLE) - (SELECT sum(rt) FROM t{i})) / (SELECT c FROM nn) AS rank "
+            f"FROM verts LEFT JOIN t{i} ON t{i}.v = verts.v)"
+        )
+    return (
+        _WEB
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS url, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
+    )
 
 
 # directed web graph for HITS / reciprocity oracles
@@ -1409,6 +1485,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank": q_web_pagerank,
         "web_hits": q_web_hits,
         "web_scc": q_web_scc,
+        "web_components": q_web_components,
+        "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_host_graph": q_web_host_graph,
         "web_reciprocity": q_web_reciprocity,
         "media_frame_plan": q_media_frame_plan,
@@ -2265,7 +2343,15 @@ o AS (
             "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
+        "web_pagerank_weighted": _wpr_sql(10),
         "web_hits": _hits_sql(6),
+        "web_components": _WEB_GRAPH.replace("WITH pg", "WITH RECURSIVE pg", 1)
+        + (
+            ", verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und), "
+            "reach(v, m) AS (SELECT v, v FROM verts "
+            "UNION SELECT e.dst, r.m FROM reach r JOIN und e ON e.src = r.v) "
+            "SELECT v AS url, min(m) AS comp FROM reach GROUP BY v"
+        ),
         # SCC oracle: closed-form via recursive-CTE transitive closure —
         # scc(v) = min({v} ∪ {w : v →* w AND w →* v})
         "web_scc": _WEB_DIR.replace("WITH pg", "WITH RECURSIVE pg", 1)
