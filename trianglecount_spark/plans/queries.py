@@ -629,6 +629,39 @@ def q_events_rolling_avg(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: per user the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that; one summary row of stage counts plus
+    exact-int conversion ratios. Three groupBy-min passes (each a tiny
+    per-user aggregate), no window, no self-join explosion."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(kind, prev, name):
+        e = ev.where(F.col("event_type") == kind).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col("prev_ts"))
+        return e.groupBy("user_id").agg(F.min("ts").alias(name)).select(
+            "user_id", F.col(name).alias("prev_ts")
+        )
+
+    v = first_after("view", None, "t_view")
+    c = first_after("click", v, "t_click")
+    p = first_after("purchase", c, "t_purchase")
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        (F.col("n_view_click") / F.col("n_view")).alias("cr_click"),
+        (F.col("n_view_click_purchase") / F.col("n_view_click")).alias("cr_purchase"),
+    )
+
+
 def q_events_attribution(spark, sf_dir):
     """Last-touch attribution: each purchase event matched to the
     user's most recent click at-or-before it (operators/asof.py —
@@ -950,6 +983,39 @@ def q_docs_minhash_candidates(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
+
+
+def q_docs_minhash_est(spark, sf_dir):
+    """Sketch-estimated Jaccard for the LSH candidate pairs: the match
+    fraction of the 8 min-hash components — the estimator actually used
+    at 100 TB to rank candidates WITHOUT touching the shingle sets
+    again (exact Jaccard re-verification is docs_jaccard_pairs). Exact
+    cross-engine: component equality is string equality of md5 minima,
+    the estimate is one n/8 division."""
+    from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    sig = minhash_signatures(_shingles_df(spark, sf_dir), n_hashes=_MH_H)
+    cand = lsh_candidates(sig, n_hashes=_MH_H, rows_per_band=_MH_R)
+    sa = sig.select(
+        F.col("doc_id").alias("a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_MH_H)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_MH_H)]
+    )
+    n_match = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(_MH_H)
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            n_match.cast("long").alias("n_match"),
+            (n_match.cast("double") / F.lit(float(_MH_H))).alias("est_jaccard"),
+        )
+    )
 
 
 def q_docs_simhash(spark, sf_dir):
@@ -1472,6 +1538,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_candidates": q_docs_minhash_candidates,
+        "docs_minhash_est": q_docs_minhash_est,
+        "events_funnel": q_events_funnel,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -2297,6 +2365,44 @@ o AS (
             "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
             "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key "
             "WHERE l.doc_id < r.doc_id"
+        ),
+        "docs_minhash_est": _SHINGLES
+        + (
+            f", sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+            f"bands AS ({band_selects}), "
+            "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+            "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key "
+            "WHERE l.doc_id < r.doc_id) "
+            "SELECT cand.a, cand.b, CAST(("
+            + " + ".join(
+                f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                for i in range(_MH_H)
+            )
+            + ") AS BIGINT) AS n_match, CAST(("
+            + " + ".join(
+                f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                for i in range(_MH_H)
+            )
+            + f") AS DOUBLE) / CAST({_MH_H} AS DOUBLE) AS est_jaccard "
+            "FROM cand JOIN sig sa ON sa.doc_id = cand.a "
+            "JOIN sig sb ON sb.doc_id = cand.b"
+        ),
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN v ON v.user_id = e.user_id AND e.ts > v.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN c ON c.user_id = e.user_id AND e.ts > c.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase, "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM c) / "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM v) AS cr_click, "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM p) / "
+            "(SELECT CAST(count(*) AS DOUBLE) FROM c) AS cr_purchase"
         ),
         "docs_simhash": _SIMHASH + "SELECT doc_id, simhash FROM sh",
         "docs_simhash_neardup": _SIMHASH
