@@ -629,6 +629,20 @@ def q_events_rolling_avg(spark, sf_dir):
     )
 
 
+def q_events_pivot(spark, sf_dir):
+    """Crosstab: per-user event counts pivoted to one column per type
+    (`groupBy().pivot()` with explicit values — Catalyst rewrites to a
+    single pass of conditional aggregates, no shuffle per column)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: per user the
     earliest view, the earliest click strictly after it, the earliest
@@ -1540,6 +1554,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
         "events_funnel": q_events_funnel,
+        "events_pivot": q_events_pivot,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -2386,6 +2401,15 @@ o AS (
             + f") AS DOUBLE) / CAST({_MH_H} AS DOUBLE) AS est_jaccard "
             "FROM cand JOIN sig sa ON sa.doc_id = cand.a "
             "JOIN sig sb ON sb.doc_id = cand.b"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click, "
+            "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error, "
+            "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase, "
+            "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup, "
+            "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view "
+            "FROM events GROUP BY user_id"
         ),
         "events_funnel": (
             "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
