@@ -236,6 +236,57 @@ def bfs_distances(
     return iterate(init, step, delta, max_iter=max_rounds, check_every=2)
 
 
+def sssp_distances(
+    weighted_edges: DataFrame,
+    source: int,
+    weight_col: str = "w",
+    rounds: int = 8,
+) -> tuple[DataFrame, IterationLog]:
+    """Weighted single-source shortest paths: ``rounds`` synchronous
+    Bellman–Ford relaxations over a directed weighted edge table
+    ``(src, dst, w)``; returns ``v, d`` for EVERY vertex with
+    ``d = 2^40`` (sentinel, kept as exact BIGINT so every relaxation is
+    integer arithmetic) where no ≤``rounds``-edge path exists yet.
+
+    Fixed-round contract: the loop deliberately does NOT early-stop, so
+    an engine unrolling the same ``rounds`` relaxations (the DuckDB
+    oracle) lands on identical values even on graphs whose weighted
+    diameter exceeds ``rounds``. Each round is one key-partitioned join
+    (state onto edge src) + one min-agg on dst + one left-join fold —
+    the same shuffle keys every round, so AQE reuses the partitioning."""
+    INF = 1 << 40
+    verts = (
+        weighted_edges.select(F.col("src").alias("v"))
+        .unionByName(weighted_edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    init = verts.select(
+        "v",
+        F.when(F.col("v") == source, F.lit(0))
+        .otherwise(F.lit(INF))
+        .cast("long")
+        .alias("d"),
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        relax = (
+            weighted_edges.join(
+                state.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("ds") + F.col(weight_col)).alias("md"))
+            .select(F.col("dst").alias("v"), "md")
+        )
+        return state.join(relax, "v", "left").select(
+            "v", F.least(F.col("d"), F.coalesce(F.col("md"), F.col("d"))).alias("d")
+        )
+
+    def delta(prev: DataFrame, cur: DataFrame) -> float:
+        return 1.0  # fixed-round contract — never converge early
+
+    return iterate(init, step, delta, max_iter=rounds, check_every=rounds)
+
+
 def k_core(
     sym_edges: DataFrame, k: int, max_rounds: int = 8
 ) -> tuple[DataFrame, IterationLog]:

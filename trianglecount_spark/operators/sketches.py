@@ -48,12 +48,17 @@ ALPHA_M2_SCALE = (
 )
 
 
-def hll_sketch(df: DataFrame, col: str) -> DataFrame:
-    """One row ``(n_buckets, s_scaled, estimate)`` — the HLL-estimated
-    distinct count of ``df[col]``. Exactly reproducible (see module
-    doc)."""
-    h = df.select(F.md5(F.col(col).cast("string")).alias("h"))
+def hll_registers(df: DataFrame, col: str, keys: list[str] | None = None) -> DataFrame:
+    """Max-ρ HLL registers of ``df[col]``, one group per ``keys`` tuple:
+    ``*keys, bucket, m_j``. This is the mergeable sketch state — max-merge
+    of two groups' registers equals the registers of their value union,
+    which is what lets HyperBall propagate O(m) registers instead of
+    reach sets (operators/hyperball.py) and lets any engine reproduce
+    the state from the raw values."""
+    keys = list(keys or [])
+    h = df.select(*keys, F.md5(F.col(col).cast("string")).alias("h"))
     parts = h.select(
+        *keys,
         F.conv(F.substring("h", 1, 2), 16, 10).cast("long").alias("bucket"),
         F.substring("h", 3, 13).alias("w"),
     )
@@ -66,12 +71,38 @@ def hll_sketch(df: DataFrame, col: str) -> DataFrame:
         .otherwise(3)
     )
     rho = parts.select(
+        *keys,
         "bucket",
         F.when(F.col("w") == "0" * 13, 53)
         .otherwise(4 * z + lz + 1)
         .alias("rho"),
     )
-    regs = rho.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    return rho.groupBy(*keys, "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """``*keys, s_scaled, estimate`` from a register table (absent
+    buckets counted at M=0; exact-integer register sum, one final double
+    division — see module doc)."""
+    keys = list(keys or [])
+    s = regs.groupBy(*keys).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)"))
+            + (F.lit(_M) - F.count("*")) * F.lit(1 << 53)
+        )
+        .cast("long")
+        .alias("s_scaled")
+    )
+    return s.select(
+        *keys, "s_scaled", (F.expr(ALPHA_M2_SCALE) / F.col("s_scaled")).alias("estimate")
+    )
+
+
+def hll_sketch(df: DataFrame, col: str) -> DataFrame:
+    """One row ``(n_buckets, s_scaled, estimate)`` — the HLL-estimated
+    distinct count of ``df[col]``. Exactly reproducible (see module
+    doc)."""
+    regs = hll_registers(df, col)
     return regs.agg(
         F.count("*").alias("n_buckets"),
         (

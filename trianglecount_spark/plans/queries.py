@@ -382,6 +382,25 @@ def q_bfs_copurchase(spark, sf_dir):
     return dist
 
 
+def q_sssp_copurchase(spark, sf_dir):
+    """Weighted single-source shortest paths: 8 synchronous Bellman–Ford
+    relaxations (operators/metrics.py ``sssp_distances``) from the min
+    vertex over the copurchase graph with deterministic integer weights
+    ``w = (src + dst) % 7 + 1`` — all-BIGINT arithmetic end to end.
+    Oracle: the SAME 8 relaxations unrolled as chained DuckDB CTEs;
+    both engines run the identical fixed round count, so values match
+    exactly even where 8 rounds haven't converged."""
+    from trianglecount_spark.operators.metrics import sssp_distances
+
+    sym = copurchase_sym(spark, sf_dir)
+    e = sym.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).cast("long").alias("w")
+    )
+    source = sym.agg(F.min("src")).collect()[0][0]
+    dist, _ = sssp_distances(e, int(source), rounds=8)
+    return dist.where(F.col("d") < (1 << 40)).select("v", F.col("d").alias("dist"))
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per vertex over the copurchase graph
     (operators/metrics.py): all-corner triangle attribution / degree
@@ -1032,6 +1051,54 @@ def q_docs_minhash_est(spark, sf_dir):
     )
 
 
+def q_docs_dedup_clusters(spark, sf_dir):
+    """END-TO-END near-dup deduplication — the full 100 TB training-data
+    pipeline in ONE plan: word shingles → MinHash signatures → LSH band
+    self-join (candidates; the only self-join, keyed on uniform md5 band
+    keys so no skew) → exact Jaccard verification restricted to the
+    candidate pairs (the shingle sets are re-touched ONLY for pairs that
+    collided in a band — never the quadratic all-pairs join) →
+    connected components over the verified similarity graph (large-star/
+    small-star) → keeper election (min doc_id per cluster).
+
+    Emits one row per clustered doc: ``doc_id, cluster, keep``. Every
+    stage is a key-partitioned shuffle (doc_id / band key / component
+    label); cluster sizes are bounded by real near-dup group sizes, not
+    corpus size. Oracle: the identical pipeline in DuckDB — same md5
+    min-hashes, bands and Jaccard arithmetic, components via an
+    independent RECURSIVE min-reachable CTE — exact row-for-row."""
+    from trianglecount_spark.operators.components import connected_components
+    from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    sh = _shingles_df(spark, sf_dir)
+    sig = minhash_signatures(sh, n_hashes=_MH_H)
+    cand = lsh_candidates(sig, n_hashes=_MH_H, rows_per_band=_MH_R)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "s")
+    sb = sh.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .where(
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+            >= F.lit(0.5)
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp, _ = connected_components(verified)
+    return comp.select(
+        F.col("v").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("v") == F.col("comp")).alias("keep"),
+    )
+
+
 def q_docs_simhash(spark, sf_dir):
     from trianglecount_spark.operators.dedup import simhash64
 
@@ -1234,6 +1301,22 @@ def q_web_hits(spark, sf_dir):
         F.col("hub").cast("long").alias("hub"),
         F.col("auth").cast("long").alias("auth"),
     )
+
+
+def q_web_hyperball(spark, sf_dir):
+    """HyperBall 3-hop ball-size estimates per url over the mined
+    DIRECTED web graph (operators/hyperball.py) — the neighborhood
+    function behind effective-diameter / harmonic-centrality analytics
+    at crawl scale. The engine propagates O(m) portable md5-HLL
+    registers per vertex (never reach sets); the DuckDB oracle
+    materializes the exact 3-hop reach sets (3 unrolled hop CTEs — fine
+    at gate scale), sketches them once, and matches ``s_scaled`` AND the
+    double ``estimate`` bit-for-bit (register max-merge over paths =
+    registers of the reach set)."""
+    from trianglecount_spark.operators.hyperball import hyperball
+
+    balls = hyperball(web_directed_graph(spark, sf_dir), rounds=3)
+    return balls.select(F.col("v").alias("url"), "s_scaled", "estimate")
 
 
 def q_web_scc(spark, sf_dir):
@@ -1535,6 +1618,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_tokens": q_docs_top_tokens,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
+        "sssp_copurchase": q_sssp_copurchase,
+        "web_hyperball": q_web_hyperball,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -1553,6 +1638,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
+        "docs_dedup_clusters": q_docs_dedup_clusters,
         "events_funnel": q_events_funnel,
         "events_pivot": q_events_pivot,
         "docs_simhash": q_docs_simhash,
@@ -1706,6 +1792,84 @@ _BFS_SQL = _CP.replace("WITH raw AS", "WITH RECURSIVE raw AS", 1) + """
 )
 SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY v
 """
+
+
+def _sssp_sql(rounds: int = 8) -> str:
+    """The engine's fixed-round Bellman–Ford (operators/metrics.py
+    ``sssp_distances``) unrolled as ``rounds`` chained CTEs over _CP's
+    symmetric ``und`` with weights (src+dst)%7+1 — all-BIGINT, exact.
+
+    Every round CTE is MATERIALIZED: each references its predecessor
+    TWICE (fold + relax subquery), and DuckDB inlines un-materialized
+    CTEs per reference — without the hint the unrolled plan recomputes
+    s0 2^rounds times (measured 435 s vs ~2 s at sf0.01)."""
+    inf = 1 << 40
+    sql = _CP + (
+        ", ew AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM und), "
+        f"s0 AS MATERIALIZED (SELECT v, CASE WHEN v = (SELECT min(src) FROM und) THEN 0 "
+        f"ELSE {inf} END AS d FROM (SELECT DISTINCT src AS v FROM und))"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", s{i} AS MATERIALIZED (SELECT s.v, least(s.d, COALESCE(m.md, s.d)) AS d "
+            f"FROM s{i - 1} s LEFT JOIN (SELECT e.dst AS v, min(p.d + e.w) AS md "
+            f"FROM ew e JOIN s{i - 1} p ON p.v = e.src GROUP BY e.dst) m "
+            f"ON m.v = s.v)"
+        )
+    return sql + (
+        f" SELECT v, CAST(d AS BIGINT) AS dist FROM s{rounds} WHERE d < {inf}"
+    )
+
+
+# rho expression shared by the HLL oracles: 4·(leading '0' hex chars of w)
+# + a 4-way CASE on the first non-zero char + 1; all-zero w ⇒ 53
+# (mirrors operators/sketches.py bit-for-bit).
+_RHO_CASE = (
+    "CASE WHEN w = '0000000000000' THEN 53 ELSE "
+    "4 * length(regexp_extract(w, '^(0*)', 1)) + (CASE "
+    "WHEN substring(w, length(regexp_extract(w, '^(0*)', 1)) + 1, 1) "
+    "IN ('8','9','a','b','c','d','e','f') THEN 0 "
+    "WHEN substring(w, length(regexp_extract(w, '^(0*)', 1)) + 1, 1) "
+    "IN ('4','5','6','7') THEN 1 "
+    "WHEN substring(w, length(regexp_extract(w, '^(0*)', 1)) + 1, 1) "
+    "IN ('2','3') THEN 2 ELSE 3 END) + 1 END"
+)
+
+_ALPHA_SQL = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / "
+    "CAST(256 AS DOUBLE)) * CAST(65536 AS DOUBLE) * "
+    "CAST(9007199254740992 AS DOUBLE)"
+)
+
+
+def _hyperball_sql(rounds: int = 3) -> str:
+    """Oracle for web_hyperball: materialize the EXACT ≤rounds-hop reach
+    set of every url over _WEB_DIR's directed ``g`` (unrolled hop CTEs —
+    O(V²) pairs is fine at gate scale; the engine never does this),
+    sketch each set once with the portable md5 HLL, and emit the same
+    (s_scaled, estimate) the register-propagating engine produces."""
+    sql = _WEB_DIR + (
+        ", verts AS (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM g UNION ALL SELECT dst AS v FROM g)), "
+        "r0 AS (SELECT v, v AS m FROM verts)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", r{i} AS (SELECT DISTINCT v, m FROM ("
+            f"SELECT v, m FROM r{i - 1} UNION ALL "
+            f"SELECT e.src AS v, r.m FROM r{i - 1} r JOIN g e ON e.dst = r.v))"
+        )
+    return sql + (
+        f", hh AS (SELECT v, md5(CAST(m AS VARCHAR)) AS h FROM r{rounds}), "
+        "p AS (SELECT v, CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS bucket, "
+        "substring(h, 3, 13) AS w FROM hh), "
+        f"rr AS (SELECT v, bucket, {_RHO_CASE} AS rho FROM p), "
+        "regs AS (SELECT v, bucket, max(rho) AS m_j FROM rr GROUP BY 1, 2), "
+        "s AS (SELECT v, CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) "
+        "+ (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) "
+        "AS s_scaled FROM regs GROUP BY v) "
+        f"SELECT v AS url, s_scaled, {_ALPHA_SQL} / s_scaled AS estimate FROM s"
+    )
 
 
 def _lpa_sql(k: int = 10, prefix: str = _CP) -> str:
@@ -2219,6 +2383,8 @@ o AS (
         ),
         "ppr_copurchase": _ppr_sql(10),
         "bfs_copurchase": _BFS_SQL,
+        "sssp_copurchase": _sssp_sql(8),
+        "web_hyperball": _hyperball_sql(3),
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
         "docs_sample_stratified": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
@@ -2401,6 +2567,30 @@ o AS (
             + f") AS DOUBLE) / CAST({_MH_H} AS DOUBLE) AS est_jaccard "
             "FROM cand JOIN sig sa ON sa.doc_id = cand.a "
             "JOIN sig sb ON sb.doc_id = cand.b"
+        ),
+        "docs_dedup_clusters": _SHINGLES
+        + (
+            f", sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id), "
+            f"bands AS ({band_selects}), "
+            "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b "
+            "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key "
+            "WHERE l.doc_id < r.doc_id), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT c.a, c.b, count(*) AS i "
+            "FROM cand c JOIN sh sa ON sa.doc_id = c.a "
+            "JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s GROUP BY 1, 2), "
+            "verified AS (SELECT inter.a AS src, inter.b AS dst FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.a "
+            "JOIN sizes sb ON sb.doc_id = inter.b "
+            "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5), "
+            "und AS (SELECT src, dst FROM verified "
+            "UNION ALL SELECT dst AS src, src AS dst FROM verified), "
+            "verts AS (SELECT DISTINCT src AS v FROM und) "
+            "SELECT v AS doc_id, min(m) AS cluster, v = min(m) AS keep FROM ("
+            "  WITH RECURSIVE reach(v, m) AS ("
+            "    SELECT v, v FROM verts UNION "
+            "    SELECT e.dst AS v, r.m FROM reach r JOIN und e ON e.src = r.v) "
+            "  SELECT v, m FROM reach) GROUP BY v"
         ),
         "events_pivot": (
             "SELECT user_id, "
