@@ -36,6 +36,48 @@ from pyspark.sql import functions as F
 from trianglecount_spark.operators.sketches import hll_estimate, hll_registers
 
 
+def hyperball_profile(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Per-round neighborhood function: rows ``(v, t, s_scaled)`` for
+    t = 0..rounds — the HLL register-sum of ``B(v, t)`` after each
+    merge round. This is the distance-distribution / effective-diameter
+    profile Boldi & Vigna compute with HyperBall (the estimate is the
+    deterministic function ``ALPHA_M2_SCALE / s_scaled`` of the emitted
+    integer; keeping the profile all-BIGINT makes it exactly
+    cross-engine comparable)."""
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    regs = hll_registers(
+        verts.select("v", F.col("v").cast("string").alias("val")), "val", keys=["v"]
+    ).localCheckpoint(eager=True)
+    snaps = [
+        hll_estimate(regs, keys=["v"]).select(
+            "v", F.lit(0).alias("t"), "s_scaled"
+        )
+    ]
+    for t in range(1, rounds + 1):
+        absorbed = edges.join(
+            regs.select(F.col("v").alias("dst"), "bucket", "m_j"), "dst"
+        ).select(F.col("src").alias("v"), "bucket", "m_j")
+        regs = (
+            regs.unionByName(absorbed)
+            .groupBy("v", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(
+            hll_estimate(regs, keys=["v"]).select(
+                "v", F.lit(t).alias("t"), "s_scaled"
+            )
+        )
+    res = snaps[0]
+    for df in snaps[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def hyperball(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """Per-vertex HLL ball-size after ``rounds`` hops along OUT-edges:
     ``v, s_scaled, estimate`` with estimate ≈ |B(v, rounds)| (v itself

@@ -401,6 +401,41 @@ def q_sssp_copurchase(spark, sf_dir):
     return dist.where(F.col("d") < (1 << 40)).select("v", F.col("d").alias("dist"))
 
 
+def q_walks_copurchase(spark, sf_dir):
+    """DeepWalk-style corpus generation: one deterministic length-4 walk
+    per seed vertex (v % 100 == 0) over the symmetric copurchase graph
+    (operators/walks.py) — next hop = out-neighbor minimizing
+    ``md5(walk:id:step:cur:nbr)``. Rows (walk, step, v). Oracle: the
+    same 4 hops unrolled as MATERIALIZED min_by CTEs over identical md5
+    keys — bit-identical paths."""
+    from trianglecount_spark.operators.walks import deterministic_walks
+
+    sym = copurchase_sym(spark, sf_dir)
+    seeds = (
+        sym.select(F.col("src").alias("walk"))
+        .distinct()
+        .where(F.col("walk") % 100 == 0)
+    )
+    return deterministic_walks(sym, seeds, length=4)
+
+
+def q_neighbor_sample_copurchase(spark, sf_dir):
+    """GraphSAGE-style deterministic (2, 2) fanout sample per seed
+    (v % 100 == 0) over the symmetric copurchase graph
+    (operators/walks.py ``neighbor_sample``): hop ranks are per-key
+    md5 orderings, windows partitioned by the sample key (never
+    global). Oracle: the same two row_number-over-hash rankings."""
+    from trianglecount_spark.operators.walks import neighbor_sample
+
+    sym = copurchase_sym(spark, sf_dir)
+    seeds = (
+        sym.select(F.col("src").alias("seed"))
+        .distinct()
+        .where(F.col("seed") % 100 == 0)
+    )
+    return neighbor_sample(sym, seeds, fanout1=2, fanout2=2)
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per vertex over the copurchase graph
     (operators/metrics.py): all-corner triangle attribution / degree
@@ -1099,6 +1134,18 @@ def q_docs_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per doc
+    (functions/textqual.py): top-bigram occurrence fraction +
+    duplicate-trigram fraction — the published pretraining-corpus
+    boilerplate filters, as two (doc_id, gram) partial-agg shuffles.
+    Oracle: identical n-gram expansion via DuckDB 1-based list
+    indexing; integer arithmetic until one final round(·, 6)."""
+    from trianglecount_spark.functions.textqual import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_docs_simhash(spark, sf_dir):
     from trianglecount_spark.operators.dedup import simhash64
 
@@ -1317,6 +1364,18 @@ def q_web_hyperball(spark, sf_dir):
 
     balls = hyperball(web_directed_graph(spark, sf_dir), rounds=3)
     return balls.select(F.col("v").alias("url"), "s_scaled", "estimate")
+
+
+def q_web_neighborhood_profile(spark, sf_dir):
+    """Per-round neighborhood function over the mined directed web graph
+    (operators/hyperball.py ``hyperball_profile``): rows (url, t,
+    s_scaled) for t = 0..3 — the distance-distribution profile behind
+    effective-diameter estimates, all-BIGINT so the oracle (exact
+    per-round reach sets, sketched once each) matches bit-for-bit."""
+    from trianglecount_spark.operators.hyperball import hyperball_profile
+
+    prof = hyperball_profile(web_directed_graph(spark, sf_dir), rounds=3)
+    return prof.select(F.col("v").alias("url"), "t", "s_scaled")
 
 
 def q_web_scc(spark, sf_dir):
@@ -1620,6 +1679,10 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_copurchase": q_bfs_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
         "web_hyperball": q_web_hyperball,
+        "web_neighborhood_profile": q_web_neighborhood_profile,
+        "walks_copurchase": q_walks_copurchase,
+        "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
+        "docs_repetition": q_docs_repetition,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -1851,11 +1914,13 @@ def _hyperball_sql(rounds: int = 3) -> str:
     sql = _WEB_DIR + (
         ", verts AS (SELECT DISTINCT v FROM ("
         "SELECT src AS v FROM g UNION ALL SELECT dst AS v FROM g)), "
-        "r0 AS (SELECT v, v AS m FROM verts)"
+        "r0 AS MATERIALIZED (SELECT v, v AS m FROM verts)"
     )
     for i in range(1, rounds + 1):
+        # MATERIALIZED: r{i-1} is referenced twice per hop — un-hinted,
+        # DuckDB's per-reference inlining recomputes r0 2^rounds times
         sql += (
-            f", r{i} AS (SELECT DISTINCT v, m FROM ("
+            f", r{i} AS MATERIALIZED (SELECT DISTINCT v, m FROM ("
             f"SELECT v, m FROM r{i - 1} UNION ALL "
             f"SELECT e.src AS v, r.m FROM r{i - 1} r JOIN g e ON e.dst = r.v))"
         )
@@ -1870,6 +1935,102 @@ def _hyperball_sql(rounds: int = 3) -> str:
         "AS s_scaled FROM regs GROUP BY v) "
         f"SELECT v AS url, s_scaled, {_ALPHA_SQL} / s_scaled AS estimate FROM s"
     )
+
+
+def _walks_sql(length: int = 4) -> str:
+    """Oracle for walks_copurchase: the engine's deterministic walks
+    (operators/walks.py) unrolled — per hop one min_by over the same
+    ``md5(walk:id:t:src:dst)`` key. MATERIALIZED: each w{t} is
+    referenced twice (next hop + final union)."""
+    sql = _CP + (
+        ", seeds AS (SELECT DISTINCT src AS walk FROM und WHERE src % 100 = 0), "
+        "w0 AS MATERIALIZED (SELECT walk, walk AS v FROM seeds)"
+    )
+    for t in range(1, length + 1):
+        sql += (
+            f", w{t} AS MATERIALIZED (SELECT p.walk, "
+            f"min_by(e.dst, md5(concat_ws(':', 'walk', p.walk, {t}, e.src, e.dst))) "
+            f"AS v FROM w{t - 1} p JOIN und e ON e.src = p.v GROUP BY p.walk)"
+        )
+    return (
+        sql
+        + " SELECT walk, 0 AS step, v FROM w0"
+        + "".join(
+            f" UNION ALL SELECT walk, {t} AS step, v FROM w{t}"
+            for t in range(1, length + 1)
+        )
+    )
+
+
+_SAGE_SQL = _CP + """
+, seeds AS (SELECT DISTINCT src AS seed FROM und WHERE src % 100 = 0),
+h1s AS MATERIALIZED (SELECT seed, h1 FROM (
+  SELECT s.seed, e.dst AS h1, row_number() OVER (
+    PARTITION BY s.seed
+    ORDER BY md5(concat_ws(':', 'sage', 1, s.seed, e.dst))) AS rn
+  FROM seeds s JOIN und e ON e.src = s.seed) WHERE rn <= 2),
+h2s AS (SELECT seed, h1, h2 FROM (
+  SELECT h.seed, h.h1, e.dst AS h2, row_number() OVER (
+    PARTITION BY h.seed, h.h1
+    ORDER BY md5(concat_ws(':', 'sage', 2, h.seed, h.h1, e.dst))) AS rn
+  FROM h1s h LEFT JOIN und e ON e.src = h.h1)
+  WHERE rn <= 2 OR h2 IS NULL)
+SELECT seed, h1, h2 FROM h2s
+"""
+
+
+def _hyperball_profile_sql(rounds: int = 3) -> str:
+    """Oracle for web_neighborhood_profile: exact reach sets per round
+    (MATERIALIZED — each r{t} feeds both the next hop and its own
+    sketch), each sketched once with the portable md5 HLL; emits the
+    all-BIGINT (url, t, s_scaled) profile."""
+    sql = _WEB_DIR + (
+        ", verts AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM g UNION ALL SELECT dst AS v FROM g)), "
+        "r0 AS MATERIALIZED (SELECT v, v AS m FROM verts)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", r{i} AS MATERIALIZED (SELECT DISTINCT v, m FROM ("
+            f"SELECT v, m FROM r{i - 1} UNION ALL "
+            f"SELECT e.src AS v, r.m FROM r{i - 1} r JOIN g e ON e.dst = r.v))"
+        )
+    parts = []
+    for t in range(rounds + 1):
+        sql += (
+            f", hh{t} AS (SELECT v, md5(CAST(m AS VARCHAR)) AS h FROM r{t}), "
+            f"p{t} AS (SELECT v, CAST(('0x' || substring(h, 1, 2)) AS BIGINT) "
+            f"AS bucket, substring(h, 3, 13) AS w FROM hh{t}), "
+            f"rr{t} AS (SELECT v, bucket, {_RHO_CASE} AS rho FROM p{t}), "
+            f"regs{t} AS (SELECT v, bucket, max(rho) AS m_j FROM rr{t} "
+            f"GROUP BY 1, 2), "
+            f"s{t} AS (SELECT v, CAST(sum(CAST(1 AS BIGINT) << (53 - m_j)) "
+            f"+ (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) "
+            f"AS s_scaled FROM regs{t} GROUP BY v)"
+        )
+        parts.append(f"SELECT v AS url, {t} AS t, s_scaled FROM s{t}")
+    return sql + " " + " UNION ALL ".join(parts)
+
+
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+  i -> w[i] || ' ' || w[i + 1])) AS gram FROM w),
+trig AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram FROM w),
+bic AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+bia AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c
+        FROM bic GROUP BY 1),
+tric AS (SELECT doc_id, gram, count(*) AS c FROM trig GROUP BY 1, 2),
+tria AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+         FROM tric GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+  round(COALESCE(top_c * 1.0 / n_bigrams, 0), 6) AS top_bigram_frac,
+  COALESCE(n_trigrams, 0) AS n_trigrams,
+  round(COALESCE(dup_c * 1.0 / n_trigrams, 0), 6) AS dup_trigram_frac
+FROM documents d LEFT JOIN bia USING (doc_id) LEFT JOIN tria USING (doc_id)
+"""
 
 
 def _lpa_sql(k: int = 10, prefix: str = _CP) -> str:
@@ -2385,6 +2546,10 @@ o AS (
         "bfs_copurchase": _BFS_SQL,
         "sssp_copurchase": _sssp_sql(8),
         "web_hyperball": _hyperball_sql(3),
+        "web_neighborhood_profile": _hyperball_profile_sql(3),
+        "walks_copurchase": _walks_sql(4),
+        "neighbor_sample_copurchase": _SAGE_SQL,
+        "docs_repetition": _REPETITION_SQL,
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
         "docs_sample_stratified": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
