@@ -1146,6 +1146,34 @@ def q_docs_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_docs_cooccurrence(spark, sf_dir):
+    """GloVe-style word co-occurrence counts within a ±2 token window —
+    the sparse matrix an embedding trainer consumes. The pair list is
+    generated POSITIONALLY in one projection per offset (a transform
+    over the token array), never by a positions self-join: at 100 TB the
+    self-join would shuffle every token twice and skew on stopwords,
+    while this shape is scan → explode → one (a, b) partial-agg shuffle.
+    Oracle: the same per-offset 1-based list expansion in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    branches = []
+    for d in (1, 2):
+        w = docs.select("doc_id", F.split("text", " ").alias("w")).where(
+            F.size("w") > d
+        )
+        branches.append(
+            w.select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(w) - 1 - {d}), "
+                        f"i -> struct(w[i] AS a, w[i + {d}] AS b))"
+                    )
+                ).alias("p")
+            ).select("p.a", "p.b")
+        )
+    pairs = branches[0].unionByName(branches[1])
+    return pairs.groupBy("a", "b").agg(F.count("*").alias("n"))
+
+
 def q_docs_simhash(spark, sf_dir):
     from trianglecount_spark.operators.dedup import simhash64
 
@@ -1683,6 +1711,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_copurchase": q_walks_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "docs_repetition": q_docs_repetition,
+        "docs_cooccurrence": q_docs_cooccurrence,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
         "docs_sample_stratified": q_docs_sample_stratified,
@@ -2030,6 +2059,18 @@ SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
   COALESCE(n_trigrams, 0) AS n_trigrams,
   round(COALESCE(dup_c * 1.0 / n_trigrams, 0), 6) AS dup_trigram_frac
 FROM documents d LEFT JOIN bia USING (doc_id) LEFT JOIN tria USING (doc_id)
+"""
+
+
+_COOC_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+p1 AS (SELECT unnest(list_transform(range(1, len(w)),
+  i -> {'a': w[i], 'b': w[i + 1]})) AS s FROM w),
+p2 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+  i -> {'a': w[i], 'b': w[i + 2]})) AS s FROM w),
+p AS (SELECT s.a AS a, s.b AS b FROM p1
+      UNION ALL SELECT s.a, s.b FROM p2)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
 """
 
 
@@ -2550,6 +2591,7 @@ o AS (
         "walks_copurchase": _walks_sql(4),
         "neighbor_sample_copurchase": _SAGE_SQL,
         "docs_repetition": _REPETITION_SQL,
+        "docs_cooccurrence": _COOC_SQL,
         "triangle_estimate_sampled": _TRI_SAMPLED_SQL,
         "docs_sample_stratified": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
