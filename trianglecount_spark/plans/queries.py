@@ -1406,6 +1406,27 @@ def q_web_neighborhood_profile(spark, sf_dir):
     return prof.select(F.col("v").alias("url"), "t", "s_scaled")
 
 
+def q_web_nf_curve(spark, sf_dir):
+    """Global neighborhood-function curve N(t) = Σ_v |B(v, t)| for
+    t = 0..3 over the mined web graph — the curve an effective-diameter
+    analysis plots (HyperBall's end product). Emitted in MILLIONTHS
+    (``nf_micro``) via pure integer arithmetic: per vertex
+    ``floor(ALPHA_MICRO / s_scaled)`` (integral division of the shared
+    compile-time constant), then an exact BIGINT sum — no double ever
+    enters, so aggregation order and float formatting can't diverge
+    between engines."""
+    from trianglecount_spark.operators.hyperball import hyperball_profile
+
+    prof = hyperball_profile(web_directed_graph(spark, sf_dir), rounds=3)
+    est = prof.select(
+        "t",
+        F.expr(
+            f"CAST('{_ALPHA_MICRO}' AS DECIMAL(38,0)) div s_scaled"
+        ).alias("e"),
+    )
+    return est.groupBy("t").agg(F.sum("e").alias("nf_micro"))
+
+
 def q_web_scc(spark, sf_dir):
     """Strongly connected components of the mined directed web graph
     (operators/scc.py — FW-BW coloring: trim, min-label color, backward
@@ -1708,6 +1729,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_copurchase": q_sssp_copurchase,
         "web_hyperball": q_web_hyperball,
         "web_neighborhood_profile": q_web_neighborhood_profile,
+        "web_nf_curve": q_web_nf_curve,
         "walks_copurchase": q_walks_copurchase,
         "neighbor_sample_copurchase": q_neighbor_sample_copurchase,
         "docs_repetition": q_docs_repetition,
@@ -1933,6 +1955,11 @@ _ALPHA_SQL = (
     "CAST(9007199254740992 AS DOUBLE)"
 )
 
+# alpha·m²·2^53 in MILLIONTHS, as one shared compile-time integer: both
+# the Spark plan and the DuckDB oracle embed this same literal, so the
+# nf-curve needs no runtime double arithmetic at all.
+_ALPHA_MICRO = int(0.7213 / (1 + 1.079 / 256) * 65536 * (1 << 53) * 10**6)
+
 
 def _hyperball_sql(rounds: int = 3) -> str:
     """Oracle for web_hyperball: materialize the EXACT ≤rounds-hop reach
@@ -2039,6 +2066,19 @@ def _hyperball_profile_sql(rounds: int = 3) -> str:
         )
         parts.append(f"SELECT v AS url, {t} AS t, s_scaled FROM s{t}")
     return sql + " " + " UNION ALL ".join(parts)
+
+
+def _nf_curve_sql(rounds: int = 3) -> str:
+    """Oracle for web_nf_curve: the exact-reach-set profile, folded to
+    N(t) in millionths by the same integral division + exact integer
+    sum (HUGEINT // in DuckDB ≡ DECIMAL(38,0) div in Spark on
+    positive operands)."""
+    return (
+        "SELECT t, CAST(sum(e) AS BIGINT) AS nf_micro FROM ("
+        f"SELECT t, CAST(CAST('{_ALPHA_MICRO}' AS HUGEINT) // s_scaled "
+        f"AS BIGINT) AS e FROM ({_hyperball_profile_sql(rounds)})"
+        ") GROUP BY t"
+    )
 
 
 _REPETITION_SQL = """
@@ -2588,6 +2628,7 @@ o AS (
         "sssp_copurchase": _sssp_sql(8),
         "web_hyperball": _hyperball_sql(3),
         "web_neighborhood_profile": _hyperball_profile_sql(3),
+        "web_nf_curve": _nf_curve_sql(3),
         "walks_copurchase": _walks_sql(4),
         "neighbor_sample_copurchase": _SAGE_SQL,
         "docs_repetition": _REPETITION_SQL,
