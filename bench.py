@@ -104,8 +104,17 @@ def main() -> None:
     n_iter = 10
 
     def run_pagerank():
+        # materialize_every=4: sf0.1/local[32] is the overhead-bound
+        # regime where lazy 4-round chains are ~2x faster (see
+        # operators/pagerank.py — at 10x the edges per core the eager
+        # default wins instead, which is what tools/scaling.py measures)
         ranks, _log = pagerank(
-            sym, tol=0.0, max_iter=n_iter, check_every=n_iter, dangling_free=True
+            sym,
+            tol=0.0,
+            max_iter=n_iter,
+            check_every=n_iter,
+            dangling_free=True,
+            materialize_every=4,
         )
         return ranks.count()
 

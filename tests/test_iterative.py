@@ -159,6 +159,31 @@ def test_pagerank_dangling_free_matches_default(spark):
         assert abs(ga[v] - gb[v]) < 1e-12, (v, ga[v], gb[v])
 
 
+def test_pagerank_materialize_cadence_invariant(spark):
+    # lazy K-round chains (materialize_every > 1) are a physical-plan
+    # change only: the arithmetic graph is identical, so ranks must match
+    # the eager per-round form exactly, including at a cadence that does
+    # not divide max_iter
+    raw, _ = GOLDEN["hub"]
+    sym = canonicalize_edges(edges_df(spark, raw))
+    base, _ = pagerank(
+        sym, tol=0.0, max_iter=7, check_every=7, dangling_free=True,
+        materialize_every=1,
+    )
+    gb = {r.v: r.rank for r in base.collect()}
+    for k in (3, 4):
+        got, _ = pagerank(
+            sym, tol=0.0, max_iter=7, check_every=7, dangling_free=True,
+            materialize_every=k,
+        )
+        gk = {r.v: r.rank for r in got.collect()}
+        assert set(gk) == set(gb)
+        # same arithmetic graph; only summation order inside partial
+        # aggs can differ between the physical plans
+        for v in gb:
+            assert abs(gk[v] - gb[v]) < 1e-12, (k, v)
+
+
 @pytest.mark.parametrize("name", ["two_tris", "path6", "hub"])
 def test_components_both_strategies(spark, name):
     raw, _ = GOLDEN[name]

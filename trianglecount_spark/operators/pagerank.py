@@ -48,6 +48,7 @@ def pagerank(
     dangling_free: bool = False,
     teleport: DataFrame | None = None,
     weight: str | None = None,
+    materialize_every: int | None = None,
 ) -> tuple[DataFrame, IterationLog]:
     """PageRank over a *directed* edge table ``src, dst``.
 
@@ -68,6 +69,17 @@ def pagerank(
     is redistributed by ``s`` instead of uniformly — the closure algebra
     is unchanged, ``r'(v) = r~(v) + (1 − Σ r~)·s(v)``, still one job per
     round. The uniform default is exactly ``teleport = 1/N``.
+
+    ``materialize_every`` (requires ``dangling_free``, whose step
+    references the rank vector ONCE per round so lazy chains stay
+    linear): checkpoint every K rounds instead of every round — K rounds
+    become ONE job of K sequential shuffle stages, amortizing job-launch
+    + checkpoint overhead. Regime-dependent: measured 2.1x faster at
+    sf0.1 / local[32] (1.2M edges — overhead-bound), but 3x SLOWER at
+    32M edges / local[2] (shuffle state for K un-GC'd rounds accumulates
+    in memory-backed storage and thrashes). Default 1 = the eager
+    GraphX-style cadence; opt in only where per-round overhead, not
+    memory, is the binding constraint.
 
     ``weight`` names an integer edge-weight column: contributions become
     ``rank(u)·w(u,v)/W_out(u)`` (W_out = Σ out-weights, an exact integer
@@ -159,6 +171,12 @@ def pagerank(
             .collect()[0][0]
         )
 
+    if materialize_every is None:
+        materialize_every = 1
+    if materialize_every > 1 and not dangling_free:
+        # the dangling form references tilde twice per round — lazy
+        # chaining doubles plan nodes per round (2^K growth)
+        raise ValueError("materialize_every > 1 requires dangling_free=True")
     result, log = iterate(
         init,
         step,
@@ -168,5 +186,6 @@ def pagerank(
         check_every=check_every,
         state_dir=state_dir,
         resume=resume,
+        materialize_every=materialize_every,
     )
     return result.select("v", F.col("rank").cast("double")), log
