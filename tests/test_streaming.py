@@ -109,3 +109,18 @@ def test_streaming_edges_and_degrees(spark, tmp_path):
     assert os.path.isdir(deg_out)
     deg = spark.read.parquet(deg_out)
     assert set(deg.columns) == {"win_start", "v", "deg"}
+
+
+def test_streamed_dedup_keys_matches_batch_distinct(spark):
+    """Streaming dropDuplicatesWithinWatermark must land on exactly the
+    distinct key set — the closed form the DuckDB oracle uses."""
+    from trianglecount_spark.streaming.edges_stream import streamed_dedup_keys
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.user_id, r.event_type) for r in streamed_dedup_keys(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    want = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want and len(got) > 0

@@ -946,6 +946,17 @@ def q_events_stream_sessions(spark, sf_dir):
     return session_event_counts(spark, sf_dir)
 
 
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming ingest-dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) with watermark-bounded state, availableNow-
+    drained (streaming/edges_stream.py ``streamed_dedup_keys``). Emits
+    the dedup key only, so the result is exactly the distinct key set —
+    the oracle is closed-form SELECT DISTINCT. [EXT]."""
+    from trianglecount_spark.streaming.edges_stream import streamed_dedup_keys
+
+    return streamed_dedup_keys(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -1712,6 +1723,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
+        "events_stream_dedup": q_events_stream_dedup,
         "clustering_coeff": q_clustering_coeff,
         "kcore_suppliers": q_kcore_suppliers,
         "edge_support": q_edge_support,
@@ -2717,6 +2729,9 @@ o AS (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "events_stream_dedup": (
+            "SELECT DISTINCT user_id, event_type FROM events"
         ),
         "events_stream_sessions": (
             # gaps-and-islands sessionization; >= gap starts a new session

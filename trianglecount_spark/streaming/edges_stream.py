@@ -156,6 +156,45 @@ def session_event_counts(
     return spark.read.schema(SESSION_EVENTS_SCHEMA).parquet(out)
 
 
+DEDUP_KEYS_SCHEMA = "user_id long, event_type string"
+
+
+def streamed_dedup_keys(
+    spark: SparkSession, sf_dir: str, watermark: str = "24 hours"
+) -> DataFrame:
+    """[EXT] Streaming ingest-dedup — the crawl-pipeline shape where
+    re-fetched keys must be dropped ON INGEST, not in a later batch job:
+    file-source stream → ``dropDuplicatesWithinWatermark`` on
+    ``(user_id, event_type)`` (state is bounded by the watermark window,
+    so it never grows with stream length — the property that makes this
+    viable on an unbounded 100 TB crawl feed) → append parquet sink
+    drained with ``availableNow`` → read back.
+
+    Determinism: emitted rows carry the DEDUP KEY ONLY (never the
+    arbitrary surviving row's payload), and a batch-side ``distinct``
+    guards the batch-boundary case where a key's state expired between
+    micro-batches and the key was re-emitted. The result is therefore
+    exactly the distinct key set — closed-form for the DuckDB oracle."""
+    import tempfile
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = (
+        raw.select("user_id", "event_type", "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = tempfile.mkdtemp(prefix="tc_stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="tc_stream_dedup_ckpt_")
+    run_available_now(dedup, out, ckpt)
+    return spark.read.schema(DEDUP_KEYS_SCHEMA).parquet(out).distinct()
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available, then stop — the testable and
     resumable incremental-batch mode."""
