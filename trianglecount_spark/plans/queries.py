@@ -1460,6 +1460,21 @@ def q_web_components(spark, sf_dir):
     return comp.select(F.col("v").alias("url"), "comp")
 
 
+def q_web_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (Broder et al., WWW 2000) of the mined
+    directed web graph: every url classified core / in / out / tendril /
+    disconnected (operators/bowtie.py — SCC + three frontier closures).
+    The oracle derives the same classes from a recursive-CTE transitive
+    closure: core = largest mutual-reach class, in/out = backward/
+    forward closure differences, tendril = core's weak component
+    remainder."""
+    from trianglecount_spark.operators.bowtie import bowtie
+
+    return bowtie(web_directed_graph(spark, sf_dir)).select(
+        F.col("v").alias("url"), "cls"
+    )
+
+
 def q_web_host_graph(spark, sf_dir):
     """Domain-graph contraction: mined page-level links rolled up to
     (src_host, dst_host) with link multiplicity and distinct source
@@ -1781,6 +1796,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hits": q_web_hits,
         "web_scc": q_web_scc,
         "web_components": q_web_components,
+        "web_bowtie": q_web_bowtie,
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_host_graph": q_web_host_graph,
         "web_reciprocity": q_web_reciprocity,
@@ -2946,6 +2962,39 @@ o AS (
             "vs AS (SELECT src AS v FROM g UNION SELECT dst FROM g) "
             "SELECT vs.v AS url, least(vs.v, coalesce(min(m.w), vs.v)) AS scc "
             "FROM vs LEFT JOIN mut m ON m.v = vs.v GROUP BY vs.v"
+        ),
+        # bow-tie oracle: core = largest mutual-reach class from the same
+        # transitive closure as the web_scc oracle; in/out/weak follow as
+        # set algebra over `reach`, tendril via an undirected closure.
+        "web_bowtie": _WEB_DIR.replace("WITH pg", "WITH RECURSIVE pg", 1)
+        + (
+            ", reach AS (SELECT src AS a, dst AS b FROM g "
+            "UNION SELECT r.a, g.dst FROM reach r JOIN g ON g.src = r.b), "
+            # NB: in DuckDB 1.0, UNION inside a non-recursive CTE under
+            # WITH RECURSIVE does NOT dedup — vs must be explicitly
+            # DISTINCT since its rows reach the output unaggregated.
+            "vs AS (SELECT DISTINCT v FROM "
+            "(SELECT src AS v FROM g UNION ALL SELECT dst FROM g)), "
+            "mut AS (SELECT r1.a AS v, r1.b AS w FROM reach r1 "
+            "JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a), "
+            "scc AS (SELECT vs.v, least(vs.v, coalesce(min(m.w), vs.v)) AS scc "
+            "FROM vs LEFT JOIN mut m ON m.v = vs.v GROUP BY vs.v), "
+            "core_lbl AS (SELECT scc FROM (SELECT scc, count(*) AS n "
+            "FROM scc GROUP BY 1) ORDER BY n DESC, scc ASC LIMIT 1), "
+            "core AS (SELECT v FROM scc WHERE scc = (SELECT scc FROM core_lbl)), "
+            "fwd AS (SELECT v FROM core UNION "
+            "SELECT r.b FROM reach r WHERE r.a IN (SELECT v FROM core)), "
+            "bwd AS (SELECT v FROM core UNION "
+            "SELECT r.a FROM reach r WHERE r.b IN (SELECT v FROM core)), "
+            "und AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g), "
+            "weak AS (SELECT v FROM core UNION "
+            "SELECT u.dst FROM weak w JOIN und u ON u.src = w.v) "
+            "SELECT vs.v AS url, CASE "
+            "WHEN vs.v IN (SELECT v FROM core) THEN 'core' "
+            "WHEN vs.v IN (SELECT v FROM bwd) THEN 'in' "
+            "WHEN vs.v IN (SELECT v FROM fwd) THEN 'out' "
+            "WHEN vs.v IN (SELECT v FROM weak) THEN 'tendril' "
+            "ELSE 'disconnected' END AS cls FROM vs"
         ),
         "web_host_graph": _WEB
         + (
