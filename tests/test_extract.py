@@ -61,3 +61,38 @@ def test_pages_to_triangles_end_to_end(spark):
     d1 = {r.url: r.vid for r in vertices.collect()}
     d2 = {r.url: r.vid for r in vertices2.collect()}
     assert d1 == d2
+
+
+def test_url_canonicalization_rules(spark):
+    # each rule alone, plus stacked rules, against hand-written expectations
+    from trianglecount_spark.functions.urlnorm import canonical_url, messy_variant
+
+    cases = [
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("http://example.com/a?utm_source=x&utm_medium=y", "http://example.com/a"),
+        ("http://example.com/a?id=1&utm_source=x", "http://example.com/a?id=1"),
+        ("HTTP://EXAMPLE.COM/PathStays", "http://example.com/PathStays"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("http://example.com/a/", "http://example.com/a"),
+        ("HTTPS://Ex.COM:443/p/?utm_campaign=z#top", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], ["u"])
+    got = {r["u"]: r["c"] for r in df.select("u", canonical_url("u").alias("c")).collect()}
+    for messy, want in cases:
+        assert got[messy] == want, (messy, got[messy], want)
+
+    # messy_variant must be canonicalization-invariant: canon(messy(u)) == canon(u)
+    clean = spark.createDataFrame(
+        [(f"https://site{i}.example/p/{i}",) for i in range(64)], ["u"]
+    )
+    bad = (
+        clean.select(
+            canonical_url("u").alias("a"),
+            canonical_url(messy_variant("u")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert bad == 0

@@ -1475,6 +1475,26 @@ def q_web_bowtie(spark, sf_dir):
     )
 
 
+def q_web_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/urlnorm.py): every mined url is
+    deterministically dirtied (fragment / UTM params / uppercase host /
+    :443 / trailing slash, keyed by md5) and normalized back; output
+    (messy, canonical). The oracle rebuilds the identical variants and
+    applies an independently written SQL normalizer — for every rule the
+    canonical form must agree byte-for-byte."""
+    from trianglecount_spark.functions.extract import extract_links
+    from trianglecount_spark.functions.urlnorm import canonical_url, messy_variant
+
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    urls = (
+        raw.select(F.col("src_url").alias("u"))
+        .unionByName(raw.select(F.col("dst_url").alias("u")))
+        .distinct()
+    )
+    messy = urls.select(messy_variant("u").alias("messy"))
+    return messy.select("messy", canonical_url("messy").alias("canonical"))
+
+
 def q_web_host_graph(spark, sf_dir):
     """Domain-graph contraction: mined page-level links rolled up to
     (src_host, dst_host) with link multiplicity and distinct source
@@ -1797,6 +1817,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_scc": q_web_scc,
         "web_components": q_web_components,
         "web_bowtie": q_web_bowtie,
+        "web_url_normalize": q_web_url_normalize,
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_host_graph": q_web_host_graph,
         "web_reciprocity": q_web_reciprocity,
@@ -2995,6 +3016,30 @@ o AS (
             "WHEN vs.v IN (SELECT v FROM fwd) THEN 'out' "
             "WHEN vs.v IN (SELECT v FROM weak) THEN 'tendril' "
             "ELSE 'disconnected' END AS cls FROM vs"
+        ),
+        # url normalization oracle: rebuild the md5-keyed messy variants,
+        # then normalize with an independent SQL rule chain (DuckDB
+        # regexp_replace needs the explicit 'g' flag where Spark's is
+        # global by default).
+        "web_url_normalize": _WEB
+        + (
+            ", urls AS (SELECT DISTINCT u FROM (SELECT src_url AS u FROM mined "
+            "UNION ALL SELECT dst_url AS u FROM mined)), "
+            "m0 AS (SELECT u, CAST(('0x' || substring(md5(u), 1, 2)) AS BIGINT) % 6 AS k, "
+            "regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS hp FROM urls), "
+            "messy AS (SELECT CASE k "
+            "WHEN 0 THEN u "
+            "WHEN 1 THEN upper(hp) || substring(u, length(hp) + 1) "
+            "WHEN 2 THEN hp || ':443' || substring(u, length(hp) + 1) "
+            "WHEN 3 THEN u || '#section-2' "
+            "WHEN 4 THEN u || '?utm_source=feed&utm_campaign=x' "
+            "ELSE u || '/' END AS messy FROM m0), "
+            "n1 AS (SELECT messy, regexp_replace(regexp_replace(messy, '#.*$', ''), "
+            "'[?&]utm_[A-Za-z]+=[^&#]*', '', 'g') AS s FROM messy), "
+            "n2 AS (SELECT messy, s, "
+            "regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS hp FROM n1) "
+            "SELECT messy, regexp_replace(regexp_replace(lower(hp), ':(443|80)$', '') "
+            "|| substring(s, length(hp) + 1), '/$', '') AS canonical FROM n2"
         ),
         "web_host_graph": _WEB
         + (
