@@ -200,6 +200,21 @@ def q_degree_histogram(spark, sf_dir):
     )
 
 
+def q_degree_powerlaw(spark, sf_dir):
+    """Power-law MLE over the degree sequence: one row with
+    alpha = 1 + n / Σ ln(d_i/d_min), d_min = 1 (Clauset-Shalizi-Newman
+    discrete MLE). Whole plan is one agg over the degree table; both
+    outputs rounded to 4 decimals so the two engines' double sums
+    format identically (same guard as pagerank_exact10)."""
+    deg = degrees(copurchase_sym(spark, sf_dir))
+    ln_sum = F.sum(F.log(F.col("deg").cast("double")))
+    return deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.round(ln_sum, 4).alias("sum_ln_deg"),
+        F.round(F.lit(1.0) + F.count("*") / ln_sum, 4).alias("alpha_mle"),
+    )
+
+
 def q_oriented_edges(spark, sf_dir):
     return copurchase_oriented(spark, sf_dir)
 
@@ -581,6 +596,22 @@ def q_docs_top_tokens(spark, sf_dir):
     )
 
 
+def q_docs_inverted_index(spark, sf_dir):
+    """Corpus inverted index, aggregate form: per token its document
+    frequency, total term frequency, and posting-list bounds — the
+    index-construction pass of a search/retrieval pipeline (two hash
+    aggs over the exploded token table; at crawl scale this is the
+    standard shuffle-on-token build, no window, no driver state)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    return toks.groupBy(F.col("t").alias("token")).agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def q_events_user_hll(spark, sf_dir):
     """Deterministic HyperLogLog distinct-user estimate next to the
     exact count (operators/sketches.py — portable md5 registers, exact
@@ -830,6 +861,46 @@ def q_lpa_copurchase(spark, sf_dir):
     so both sides agree.)"""
     labels, _ = label_propagation(copurchase_sym(spark, sf_dir), max_iter=10)
     return labels
+
+
+def q_modularity_lpa(spark, sf_dir):
+    """Per-community modularity decomposition of the 2-round LPA
+    partition (on this dense graph full convergence collapses to ONE
+    community — the mid-propagation partition is the non-degenerate
+    check), in EXACT integer space: with 2m = |sym edges|,
+    q_num = 2m·intra_sym_c − d_c² per community c, so the Newman
+    modularity is Q = Σ_c q_num / (2m)² — every column a BIGINT both
+    engines agree on bit-for-bit. Shape: LPA rounds + one degree agg +
+    two shuffle label joins on the edge table (labels are |V|-sized —
+    never broadcast at crawl scale) + one hash agg per side."""
+    sym = copurchase_sym(spark, sf_dir)
+    labels, _ = label_propagation(sym, max_iter=2)
+    m2 = sym.count()  # 2m: each undirected edge appears twice
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
+    dc = (
+        deg.join(labels, "v")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"), F.count("*").alias("n_members"))
+    )
+    ls = labels.select(F.col("v").alias("src"), F.col("label").alias("l_src"))
+    ld = labels.select(F.col("v").alias("dst"), F.col("label").alias("l_dst"))
+    intra = (
+        sym.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.count("*").alias("intra_sym"))
+    )
+    return dc.join(intra, "label", "left").select(
+        "label",
+        "n_members",
+        "d_c",
+        F.coalesce("intra_sym", F.lit(0)).alias("intra_sym"),
+        (
+            F.lit(m2) * F.coalesce("intra_sym", F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("q_num"),
+    )
 
 
 # --- iterative, EXACTLY oracle-checked ---
@@ -1513,6 +1584,27 @@ def q_web_host_graph(spark, sf_dir):
     )
 
 
+def q_web_dangling_links(spark, sf_dir):
+    """Crawl-frontier discovery: link targets referenced by the crawl
+    but not themselves crawled, with inbound reference count and the
+    number of distinct referring hosts — the seed list a crawler's next
+    wave starts from. Shape: one hash agg on dst_url + a left-anti join
+    against the crawled url set (both sides shuffle on url; neither is
+    broadcastable at 10¹²-page scale)."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    pages = web_pages_from_documents(spark, sf_dir)
+    crawled = pages.select("url").distinct()
+    raw = extract_links(pages)
+    refs = raw.groupBy(F.col("dst_url").alias("url")).agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct(
+            F.regexp_extract("src_url", r"^https?://([^/]+)", 1)
+        ).alias("n_src_hosts"),
+    )
+    return refs.join(crawled, "url", "left_anti")
+
+
 def q_web_reciprocity(spark, sf_dir):
     """Edge reciprocity of the directed web graph: one exact row
     (n_edges, n_reciprocal, reciprocity). The reciprocal count is a
@@ -1737,6 +1829,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges": q_copurchase_edges,
         "degrees": q_degrees,
         "degree_histogram": q_degree_histogram,
+        "degree_powerlaw": q_degree_powerlaw,
         "oriented_edges": q_oriented_edges,
         "wedge_count": q_wedge_count,
         "triangle_total": q_triangle_total,
@@ -1750,6 +1843,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": q_pagerank_copurchase,
         "components_copurchase": q_components_copurchase,
         "lpa_copurchase": q_lpa_copurchase,
+        "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
         "lpa_nation": q_lpa_nation,
@@ -1771,6 +1865,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique4": q_clique4,
         "degree_assortativity": q_degree_assortativity,
         "docs_top_tokens": q_docs_top_tokens,
+        "docs_inverted_index": q_docs_inverted_index,
         "ppr_copurchase": q_ppr_copurchase,
         "bfs_copurchase": q_bfs_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
@@ -1820,6 +1915,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": q_web_url_normalize,
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_host_graph": q_web_host_graph,
+        "web_dangling_links": q_web_dangling_links,
         "web_reciprocity": q_web_reciprocity,
         "media_frame_plan": q_media_frame_plan,
         "media_features": q_media_features,
@@ -2163,11 +2259,13 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
 """
 
 
-def _lpa_sql(k: int = 10, prefix: str = _CP) -> str:
+def _lpa_sql(k: int = 10, prefix: str = _CP, tail: str | None = None) -> str:
     """The engine's synchronous LPA (operators/lpa.py) unrolled as ``k``
     chained CTEs: per round, every vertex adopts the most frequent
     neighbor label, ties to the SMALLEST label (row_number mirrors the
-    engine's max_by((freq, -label)) exactly)."""
+    engine's max_by((freq, -label)) exactly). ``tail`` replaces the
+    final SELECT for oracles that post-process the round-k labels
+    (e.g. modularity); it may reference ``l{k}`` and every prefix CTE."""
     ctes = [
         "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)",
         "l0 AS MATERIALIZED (SELECT v, v AS label FROM verts)",
@@ -2188,7 +2286,8 @@ def _lpa_sql(k: int = 10, prefix: str = _CP) -> str:
             f"LEFT JOIN b{i} ON b{i}.v = verts.v "
             f"LEFT JOIN l{i - 1} p ON p.v = verts.v)"
         )
-    return prefix + ", " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{k}"
+    final = tail if tail is not None else f"\nSELECT v, label FROM l{k}"
+    return prefix + ", " + ",\n".join(ctes) + final
 
 
 # connected components: min reachable vertex over the symmetric edge set —
@@ -2499,6 +2598,14 @@ def oracle() -> dict[str, str]:
         "degrees": _CP + "SELECT v, deg FROM deg",
         "degree_histogram": _CP
         + "SELECT deg, count(*) AS n_vertices FROM deg GROUP BY deg",
+        # CSN discrete MLE with d_min=1; 4-decimal rounding = the
+        # pagerank_exact10 float-format guard
+        "degree_powerlaw": _CP
+        + (
+            "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+            "round(sum(ln(deg)), 4) AS sum_ln_deg, "
+            "round(1.0 + count(*) / sum(ln(deg)), 4) AS alpha_mle FROM deg"
+        ),
         "oriented_edges": _CP + "SELECT src, dst FROM o",
         "wedge_count": _CP
         + "SELECT count(*) AS n_wedges FROM o e1 JOIN o e2 ON e1.dst = e2.src",
@@ -2535,6 +2642,27 @@ o AS (
         "pagerank_copurchase": _pagerank_sql(30),
         "components_copurchase": _CC_SQL,
         "lpa_copurchase": _lpa_sql(10),
+        # round-10 labels -> exact-integer modularity decomposition:
+        # q_num = 2m*intra_sym_c - d_c^2 (DuckDB sum() is HUGEINT ->
+        # CAST to BIGINT, the events_sessions lesson)
+        "modularity_lpa": _lpa_sql(
+            2,
+            tail=(
+                ", lab AS (SELECT v, label FROM l2), "
+                "mm AS (SELECT count(*) AS m2 FROM und), "
+                "dc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c, "
+                "count(*) AS n_members FROM lab l JOIN deg d ON d.v = l.v "
+                "GROUP BY 1), "
+                "intra AS (SELECT ls.label, count(*) AS intra_sym FROM und e "
+                "JOIN lab ls ON ls.v = e.src JOIN lab ld ON ld.v = e.dst "
+                "WHERE ls.label = ld.label GROUP BY 1) "
+                "SELECT dc.label, dc.n_members, dc.d_c, "
+                "COALESCE(intra.intra_sym, 0) AS intra_sym, "
+                "(SELECT m2 FROM mm) * COALESCE(intra.intra_sym, 0) "
+                "- dc.d_c * dc.d_c AS q_num "
+                "FROM dc LEFT JOIN intra ON intra.label = dc.label"
+            ),
+        ),
         "components_nation": (
             "SELECT n_nationkey AS v, "
             "min(n_nationkey) OVER (PARTITION BY n_regionkey) AS comp FROM nation"
@@ -2629,6 +2757,13 @@ o AS (
             "CAST(n * sxx - sx * sx AS BIGINT) AS den, "
             "CAST(n * sxy - sx * sx AS DOUBLE) / "
             "CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity FROM s"
+        ),
+        "docs_inverted_index": (
+            "SELECT t AS token, count(DISTINCT doc_id) AS df, "
+            "count(*) AS tf_total, min(doc_id) AS first_doc, "
+            "max(doc_id) AS last_doc FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents) GROUP BY 1"
         ),
         "docs_top_tokens": (
             "SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM ("
@@ -3040,6 +3175,15 @@ o AS (
             "regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS hp FROM n1) "
             "SELECT messy, regexp_replace(regexp_replace(lower(hp), ':(443|80)$', '') "
             "|| substring(s, length(hp) + 1), '/$', '') AS canonical FROM n2"
+        ),
+        "web_dangling_links": _WEB
+        + (
+            ", crawled AS (SELECT DISTINCT url FROM pg), "
+            "refs AS (SELECT dst_url AS url, count(*) AS n_refs, "
+            "count(DISTINCT regexp_extract(src_url, '^https?://([^/]+)', 1)) "
+            "AS n_src_hosts FROM mined GROUP BY 1) "
+            "SELECT r.url, r.n_refs, r.n_src_hosts FROM refs r "
+            "LEFT JOIN crawled c ON c.url = r.url WHERE c.url IS NULL"
         ),
         "web_host_graph": _WEB
         + (
