@@ -1509,6 +1509,34 @@ def q_web_nf_curve(spark, sf_dir):
     return est.groupBy("t").agg(F.sum("e").alias("nf_micro"))
 
 
+def q_web_harmonic(spark, sf_dir):
+    """Per-url harmonic centrality over OUT-distances, HyperBall-style
+    (Boldi & Vigna's headline application): H(v) = Σ_{t≥1} (|B(v,t)| −
+    |B(v,t−1)|)/t, truncated at 3 hops. Emitted as ``h6_micro`` = 6·H in
+    millionths so everything stays EXACT integers: per (v, t) the
+    ball-size estimate e_t = ALPHA_MICRO div s_scaled, then the
+    telescoped weighted sum −6e₀ + 3e₁ + e₂ + 2e₃ (LCM(1..3) = 6 clears
+    the 1/t weights). Same register propagation as web_hyperball —
+    O(m) state, never reach sets."""
+    from trianglecount_spark.operators.hyperball import hyperball_profile
+
+    prof = hyperball_profile(web_directed_graph(spark, sf_dir), rounds=3)
+    e = prof.select(
+        "v",
+        "t",
+        F.expr(f"CAST('{_ALPHA_MICRO}' AS DECIMAL(38,0)) div s_scaled").alias("e"),
+    )
+    w = (
+        F.when(F.col("t") == 0, -6)
+        .when(F.col("t") == 1, 3)
+        .when(F.col("t") == 2, 1)
+        .otherwise(2)
+    )
+    return e.groupBy(F.col("v").alias("url")).agg(
+        F.sum(w * F.col("e")).cast("long").alias("h6_micro")
+    )
+
+
 def q_web_scc(spark, sf_dir):
     """Strongly connected components of the mined directed web graph
     (operators/scc.py — FW-BW coloring: trim, min-label color, backward
@@ -1870,6 +1898,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_copurchase": q_bfs_copurchase,
         "sssp_copurchase": q_sssp_copurchase,
         "web_hyperball": q_web_hyperball,
+        "web_harmonic": q_web_harmonic,
         "web_neighborhood_profile": q_web_neighborhood_profile,
         "web_nf_curve": q_web_nf_curve,
         "walks_copurchase": q_walks_copurchase,
@@ -2211,6 +2240,20 @@ def _hyperball_profile_sql(rounds: int = 3) -> str:
         )
         parts.append(f"SELECT v AS url, {t} AS t, s_scaled FROM s{t}")
     return sql + " " + " UNION ALL ".join(parts)
+
+
+def _harmonic_sql(rounds: int = 3) -> str:
+    """Oracle for web_harmonic: the exact-reach-set profile folded per
+    vertex to 6x harmonic centrality in millionths — the identical
+    telescoped integer weights (-6, 3, 1, 2 at t = 0..3)."""
+    assert rounds == 3  # weights below are LCM(1..3)-specific
+    return (
+        "SELECT url, CAST(sum(CASE t WHEN 0 THEN -6 * e WHEN 1 THEN 3 * e "
+        "WHEN 2 THEN e ELSE 2 * e END) AS BIGINT) AS h6_micro FROM ("
+        f"SELECT url, t, CAST(CAST('{_ALPHA_MICRO}' AS HUGEINT) // s_scaled "
+        f"AS BIGINT) AS e FROM ({_hyperball_profile_sql(rounds)})"
+        ") GROUP BY url"
+    )
 
 
 def _nf_curve_sql(rounds: int = 3) -> str:
@@ -2813,6 +2856,7 @@ o AS (
         "web_hyperball": _hyperball_sql(3),
         "web_neighborhood_profile": _hyperball_profile_sql(3),
         "web_nf_curve": _nf_curve_sql(3),
+        "web_harmonic": _harmonic_sql(3),
         "walks_copurchase": _walks_sql(4),
         "neighbor_sample_copurchase": _SAGE_SQL,
         "docs_repetition": _REPETITION_SQL,
