@@ -573,6 +573,32 @@ def q_clique4(spark, sf_dir):
     return clique4_count(orient(canonicalize_edges(sampled)))
 
 
+def q_square_count(spark, sf_dir):
+    """4-cycle (rectangle) count on the DOULION-sampled copurchase
+    graph via opposite-pair common-neighbor counting: N₄ = ½ Σ_{u<w}
+    C(cn(u,w), 2) — every 4-cycle u-x-w-y is seen once from each of its
+    two opposite pairs {u,w}, {x,y}, so the paired-wedge sum is exactly
+    2·N₄ (always even; the halving stays integral). Cost class is the
+    Σdeg² wedge self-join — same as wedge_count/butterflies; at crawl
+    scale the DOULION coin thins squares by p⁴ (estimator ×inv⁴, the
+    triangle_estimate_sampled argument one motif up)."""
+    inv = _TRI_SAMPLE_INV
+    raw = copurchase_raw(spark, sf_dir)
+    coin = F.conv(F.substring(F.md5(F.concat_ws("_", "src", "dst")), 1, 4), 16, 10)
+    sym = canonicalize_edges(raw.where(coin.cast("long") % inv == 0))
+    e1 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("u"))
+    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("w"))
+    cn = (
+        e1.join(e2, "mid")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return cn.agg(
+        F.expr("sum(c * (c - 1) div 2) div 2").cast("long").alias("n_squares")
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     """Degree assortativity of the copurchase graph
     (operators/metrics.py) — sqrt-free rational Pearson form on the
@@ -1891,6 +1917,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "events_error_overlap": q_events_error_overlap,
         "clique4": q_clique4,
+        "square_count": q_square_count,
         "degree_assortativity": q_degree_assortativity,
         "docs_top_tokens": q_docs_top_tokens,
         "docs_inverted_index": q_docs_inverted_index,
@@ -2786,6 +2813,13 @@ o AS (
             "JOIN o cd ON cd.src = bc.dst "
             "JOIN o ad ON ad.src = ab.src AND ad.dst = cd.dst "
             "JOIN o bd ON bd.src = ab.dst AND bd.dst = cd.dst"
+        ),
+        "square_count": _CP_SAMPLED
+        + (
+            "SELECT CAST(CAST(sum(c * (c - 1) // 2) AS BIGINT) // 2 AS BIGINT) "
+            "AS n_squares FROM ("
+            "SELECT e1.dst AS u, e2.dst AS w, count(*) AS c FROM und e1 "
+            "JOIN und e2 ON e1.src = e2.src WHERE e1.dst < e2.dst GROUP BY 1, 2)"
         ),
         "degree_assortativity": _CP
         + (
