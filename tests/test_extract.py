@@ -96,3 +96,27 @@ def test_url_canonicalization_rules(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_extract_links_text_pairs(spark):
+    from trianglecount_spark.functions.extract import extract_links_text
+
+    html = (
+        '<html><body>'
+        '<a href="https://x.example/abs">Absolute Link</a>'
+        '<a href="/rel" class="c">rel text</a>'
+        '<a href=>broken</a><a>nohref</a>'
+        "<a href='/sq'>single-quoted</a>"
+        '<a href="">empty</a>'
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://host.example/page", bytearray(html))], "url string, html binary"
+    )
+    got = {
+        (r.dst_url, r.anchor): 1 for r in extract_links_text(pages).collect()
+    }
+    assert got == {
+        ("https://x.example/abs", "Absolute Link"): 1,
+        ("https://host.example/rel", "rel text"): 1,
+    }

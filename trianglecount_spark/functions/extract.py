@@ -89,6 +89,47 @@ def extract_links(pages: DataFrame) -> DataFrame:
     )
 
 
+_ATAG_RE = re.compile(r'<a href="([^"]*)"[^>]*>([^<]*)</a>')
+
+
+def extract_links_text(pages: DataFrame) -> DataFrame:
+    """pages → (src_url, dst_url, anchor): like ``extract_links`` but
+    paired with each link's anchor text — the classic web-search
+    relevance signal (anchor text describes the TARGET page). Same
+    Arrow-batched vectorized-regex shape and the same href resolution
+    rules; only well-formed ``<a href="...">text</a>`` tags qualify
+    (the bare-href form has no anchor to pair)."""
+
+    def run(it):
+        for pdf in it:
+            s = _decode(pdf["html"])
+            m = s.str.extractall(_ATAG_RE)
+            if m.empty:
+                yield pd.DataFrame(
+                    {"src_url": [], "dst_url": [], "anchor": []}
+                ).astype("string")
+                continue
+            m = m.reset_index(level=1, drop=True)
+            hrefs, anchors = m[0], m[1]
+            src = pdf["url"].reindex(m.index)
+            origin = src.str.extract(_ORIGIN_RE, expand=False)
+            absolute = hrefs.str.match(r"https?://")
+            rootrel = hrefs.str.startswith("/")
+            dst = hrefs.where(absolute, other=(origin + hrefs).where(rootrel))
+            keep = (absolute | rootrel) & hrefs.ne("")
+            yield pd.DataFrame(
+                {
+                    "src_url": src[keep].values,
+                    "dst_url": dst[keep].values,
+                    "anchor": anchors[keep].values,
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        run, schema="src_url string, dst_url string, anchor string"
+    )
+
+
 def edges_from_pages(pages: DataFrame) -> DataFrame:
     """Full mining pipeline: pages → (src:vid, dst:vid) long-id edge list
     + the url dictionary. Returns (edges, vertices).

@@ -1638,6 +1638,18 @@ def q_web_host_graph(spark, sf_dir):
     )
 
 
+def q_web_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link TARGET — the web-search signal
+    (anchor text is the linking page's description of the destination):
+    (dst_url, anchor, n_refs) from `extract_links_text`, one hash agg.
+    At index scale this is the anchor table fed to ranking, keyed by
+    the same dst_url shuffle as the dangling-frontier pass."""
+    from trianglecount_spark.functions.extract import extract_links_text
+
+    raw = extract_links_text(web_pages_from_documents(spark, sf_dir))
+    return raw.groupBy("dst_url", "anchor").agg(F.count("*").alias("n_refs"))
+
+
 def q_web_dangling_links(spark, sf_dir):
     """Crawl-frontier discovery: link targets referenced by the crawl
     but not themselves crawled, with inbound reference count and the
@@ -1971,6 +1983,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": q_web_url_normalize,
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_host_graph": q_web_host_graph,
+        "web_anchor_text": q_web_anchor_text,
         "web_dangling_links": q_web_dangling_links,
         "web_reciprocity": q_web_reciprocity,
         "media_frame_plan": q_media_frame_plan,
@@ -3253,6 +3266,23 @@ o AS (
             "regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS hp FROM n1) "
             "SELECT messy, regexp_replace(regexp_replace(lower(hp), ':(443|80)$', '') "
             "|| substring(s, length(hp) + 1), '/$', '') AS canonical FROM n2"
+        ),
+        "web_anchor_text": _WEB
+        + (
+            ", atoks AS (SELECT url AS src_url, unnest(regexp_extract_all(html, "
+            "'<a href=\"[^\"]*\"[^>]*>[^<]*</a>')) AS tok FROM pg), "
+            "apairs AS (SELECT src_url, "
+            "regexp_extract(tok, 'href=\"([^\"]*)\"', 1) AS href, "
+            "regexp_extract(tok, '>([^<]*)</a>', 1) AS anchor FROM atoks), "
+            "aresolved AS (SELECT CASE "
+            "WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href "
+            "WHEN href LIKE '/%' THEN "
+            "regexp_extract(src_url, '^(https?://[^/]+)', 1) || href "
+            "END AS dst_url, anchor FROM apairs "
+            "WHERE href <> '' AND (href LIKE 'http://%' OR "
+            "href LIKE 'https://%' OR href LIKE '/%')) "
+            "SELECT dst_url, anchor, count(*) AS n_refs FROM aresolved "
+            "GROUP BY 1, 2"
         ),
         "web_dangling_links": _WEB
         + (
