@@ -1638,6 +1638,30 @@ def q_web_host_graph(spark, sf_dir):
     )
 
 
+def q_web_mirror_pages(spark, sf_dir):
+    """Mirror/duplicate-page detection by content fingerprint: pages
+    whose extracted BODY text (the part after the title line) collides
+    under md5 — distinct urls serving the same content, the crawl-dedup
+    step that runs before any graph is built. Engine side fingerprints
+    the regex-extracted text; the oracle fingerprints the closed-form
+    golden body — the gate therefore re-proves the extraction invariant
+    through the hash. One hash agg keyed on the fingerprint."""
+    from trianglecount_spark.functions.extract import extract_text
+
+    txt = extract_text(web_pages_from_documents(spark, sf_dir))
+    body = F.substring_index(F.col("text"), "\n", -1)
+    return (
+        txt.select("url", F.md5(body).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min("url").alias("first_url"),
+            F.max("url").alias("last_url"),
+        )
+        .where(F.col("n_pages") > 1)
+    )
+
+
 def q_web_anchor_text(spark, sf_dir):
     """Anchor-text aggregation per link TARGET — the web-search signal
     (anchor text is the linking page's description of the destination):
@@ -1983,6 +2007,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": q_web_url_normalize,
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_host_graph": q_web_host_graph,
+        "web_mirror_pages": q_web_mirror_pages,
         "web_anchor_text": q_web_anchor_text,
         "web_dangling_links": q_web_dangling_links,
         "web_reciprocity": q_web_reciprocity,
@@ -3266,6 +3291,13 @@ o AS (
             "regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) AS hp FROM n1) "
             "SELECT messy, regexp_replace(regexp_replace(lower(hp), ':(443|80)$', '') "
             "|| substring(s, length(hp) + 1), '/$', '') AS canonical FROM n2"
+        ),
+        "web_mirror_pages": _WEB
+        + (
+            ", fps AS (SELECT url, md5('w' || (doc_id % 7) || ' w' || "
+            "(doc_id % 13) || ' w' || (doc_id % 5)) AS fp FROM pg) "
+            "SELECT fp, count(*) AS n_pages, min(url) AS first_url, "
+            "max(url) AS last_url FROM fps GROUP BY 1 HAVING count(*) > 1"
         ),
         "web_anchor_text": _WEB
         + (
