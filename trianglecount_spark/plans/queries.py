@@ -889,6 +889,20 @@ def q_lpa_copurchase(spark, sf_dir):
     return labels
 
 
+def q_mis_copurchase(spark, sf_dir):
+    """Luby maximal independent set over the copurchase graph
+    (operators/mis.py) — deterministic md5 priorities, so the oracle
+    unrolls the identical rounds (restrict → neighbor-min → select →
+    remove) and matches (v, round) exactly. Both sides run the same
+    8-round budget; the engine early-stops when the remaining set
+    empties, which on this graph happens well inside the budget (a
+    fixpoint is stable under further rounds, the lpa_copurchase
+    argument)."""
+    from trianglecount_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(copurchase_sym(spark, sf_dir), max_iter=8)
+
+
 def q_modularity_lpa(spark, sf_dir):
     """Per-community modularity decomposition of the 2-round LPA
     partition (on this dense graph full convergence collapses to ONE
@@ -1933,6 +1947,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": q_pagerank_copurchase,
         "components_copurchase": q_components_copurchase,
         "lpa_copurchase": q_lpa_copurchase,
+        "mis_copurchase": q_mis_copurchase,
         "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
@@ -2367,6 +2382,31 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
 """
 
 
+def _mis_sql(k: int = 8, salt: str = "mis", prefix: str = _CP) -> str:
+    """Oracle for mis_copurchase: Luby rounds unrolled — per round the
+    edge set restricted to remaining vertices, per-vertex min neighbor
+    priority (md5 hex compares lexicographically in both engines),
+    strict-< winners, winners + their neighborhoods removed."""
+    sql = prefix + ", rem0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)"
+    for r in range(1, k + 1):
+        sql += (
+            f", er{r} AS MATERIALIZED (SELECT e.src, e.dst FROM und e "
+            f"JOIN rem{r - 1} a ON a.v = e.src JOIN rem{r - 1} b ON b.v = e.dst)"
+            f", nm{r} AS (SELECT src AS v, "
+            f"min(md5('{salt}:{r}:' || dst)) AS nmin FROM er{r} GROUP BY 1)"
+            f", sel{r} AS MATERIALIZED (SELECT r.v FROM rem{r - 1} r "
+            f"LEFT JOIN nm{r} n ON n.v = r.v "
+            f"WHERE n.nmin IS NULL OR md5('{salt}:{r}:' || r.v) < n.nmin)"
+            f", rm{r} AS (SELECT v FROM sel{r} UNION "
+            f"SELECT e.dst AS v FROM er{r} e JOIN sel{r} s ON s.v = e.src)"
+            f", rem{r} AS MATERIALIZED "
+            f"(SELECT v FROM rem{r - 1} EXCEPT SELECT v FROM rm{r})"
+        )
+    return sql + " " + " UNION ALL ".join(
+        f"SELECT v, {r} AS round FROM sel{r}" for r in range(1, k + 1)
+    )
+
+
 def _lpa_sql(k: int = 10, prefix: str = _CP, tail: str | None = None) -> str:
     """The engine's synchronous LPA (operators/lpa.py) unrolled as ``k``
     chained CTEs: per round, every vertex adopts the most frequent
@@ -2749,6 +2789,7 @@ o AS (
         "pagerank_exact10": _pagerank_sql(10),
         "pagerank_copurchase": _pagerank_sql(30),
         "components_copurchase": _CC_SQL,
+        "mis_copurchase": _mis_sql(8),
         "lpa_copurchase": _lpa_sql(10),
         # round-10 labels -> exact-integer modularity decomposition:
         # q_num = 2m*intra_sym_c - d_c^2 (DuckDB sum() is HUGEINT ->
