@@ -197,3 +197,34 @@ def test_char_ngram_jaccard(docs, spark):
     assert pairs[(0, 2)] == 1.0
     assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
     assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_window_containment(spark):
+    from trianglecount_spark.operators.dedup import window_containment_pairs
+
+    quote = "alpha beta gamma delta"  # one shared 4-token window
+    rows = [
+        (0, quote),                                    # the whole doc IS the quote
+        (1, "intro words here " + quote + " outro trailing words"),
+        (2, "unrelated body with completely different tokens throughout"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.a, r.b): (r.shared, r.containment)
+        for r in window_containment_pairs(docs, k=4).collect()
+    }
+    # doc 0 has exactly one 4-token window and it appears inside doc 1:
+    # full containment of the smaller doc, invisible to symmetric Jaccard
+    assert pairs == {(0, 1): (1, 1.0)}
+
+
+def test_window_containment_boilerplate_cap(spark):
+    from trianglecount_spark.operators.dedup import window_containment_pairs
+
+    # the same boilerplate line in every doc; cap at max_df=3 drops it,
+    # so no pairs survive even though all docs share the window
+    rows = [(i, f"unique{i} token{i} legal notice applies here") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert window_containment_pairs(docs, k=4, max_df=3).count() == 0
+    # raising the cap re-admits the shared window: all C(5,2) pairs
+    assert window_containment_pairs(docs, k=4, max_df=10).count() == 10

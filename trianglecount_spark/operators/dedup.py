@@ -136,6 +136,65 @@ def jaccard_pairs(
     )
 
 
+def window_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact shared-window (substring-level) dedup — the CCNet/RefinedWeb
+    shape: two docs are contamination candidates iff they share at least
+    one identical ``k``-token window. Emits ``a, b, shared, containment``
+    (a < b) where ``shared`` counts distinct shared windows and
+    ``containment = shared / min(|A|, |B|)`` over each doc's FULL
+    distinct-window set — asymmetric-copy detection that symmetric
+    Jaccard misses (a paragraph quoted inside a much longer doc).
+
+    Scale shape: one (id, window-hash) explode, one df-count agg, then a
+    window-hash-keyed self-join restricted to windows with
+    2 ≤ df ≤ ``max_df`` — the frequency cap drops boilerplate windows
+    (navigation chrome, licence headers) that would otherwise make the
+    per-key pair expansion quadratic in corpus size; per-key work is then
+    bounded by max_df², and every stage is a hash shuffle on uniform md5
+    keys. The cap only ever REMOVES pairs whose sole evidence is
+    boilerplate — documented, deterministic semantics, identical in the
+    oracle. (Reference scope: no text ops —
+    src/WithPartition/Final_updated_corrected.cu is triangles only; this
+    is driver-mandated LLM-pipeline breadth.)"""
+    wins = shingles(docs, text_col=text_col, id_col=id_col, n=k).select(
+        id_col, F.md5(F.col("s").cast("binary")).alias("wh")
+    )
+    sizes = wins.groupBy(id_col).agg(F.count("*").alias("n"))
+    dfreq = wins.groupBy("wh").agg(F.count("*").alias("df"))
+    kept = wins.join(
+        dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)), "wh", "left_semi"
+    )
+    a = kept.select(F.col(id_col).alias("a"), "wh")
+    b = kept.select(F.col(id_col).alias("b"), "wh")
+    shared = (
+        a.join(b, "wh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("na"), F.col("nb")), round_to
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc: ``<id_col>, simhash``.
 

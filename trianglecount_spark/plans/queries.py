@@ -1163,6 +1163,21 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(grams, threshold=0.5)
 
 
+def q_docs_window_dedup(spark, sf_dir):
+    """Exact shared-window contamination pairs (operators/dedup.py
+    ``window_containment_pairs``): docs sharing ≥1 identical 8-token
+    window, scored by containment = shared / min-window-count — the
+    substring-level dedup pass (CCNet/RefinedWeb style) that catches
+    asymmetric copies symmetric Jaccard misses. Frequency-capped at
+    df ≤ 10 so boilerplate windows never drive quadratic per-key pair
+    expansion; the oracle applies the identical cap."""
+    from trianglecount_spark.operators.dedup import window_containment_pairs
+
+    return window_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=8, max_df=10
+    )
+
+
 def q_docs_minhash_candidates(spark, sf_dir):
     from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatures
 
@@ -1999,6 +2014,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_window_dedup": q_docs_window_dedup,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
         "docs_dedup_clusters": q_docs_dedup_clusters,
@@ -3130,6 +3146,27 @@ o AS (
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
             "JOIN sizes sb ON sb.doc_id = inter.b "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        # identical 8-token windows, df-capped at 10 exactly like the
+        # engine; containment over each doc's FULL distinct-window count
+        "docs_window_dedup": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 8), "
+            "wins AS (SELECT DISTINCT doc_id, md5(s) AS wh FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), "
+            "i -> array_to_string(t[i:i+7], ' '))) AS s FROM w)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM wins GROUP BY 1), "
+            "dfq AS (SELECT wh FROM wins GROUP BY wh "
+            "HAVING count(*) BETWEEN 2 AND 10), "
+            "kept AS (SELECT wins.* FROM wins JOIN dfq USING (wh)), "
+            "sh AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "CAST(count(*) AS BIGINT) AS shared "
+            "FROM kept x JOIN kept y USING (wh) "
+            "WHERE x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT a, b, shared, "
+            "round(shared * 1.0 / least(sa.n, sb.n), 6) AS containment "
+            "FROM sh JOIN sizes sa ON sa.doc_id = sh.a "
+            "JOIN sizes sb ON sb.doc_id = sh.b"
         ),
         "docs_minhash_candidates": _SHINGLES
         + (
