@@ -86,3 +86,31 @@ def test_repetition_signals_golden(spark):
         0,
         0.0,
     )
+
+
+def test_redirect_chain_resolution(spark):
+    from trianglecount_spark.operators.redirects import resolve_redirects
+
+    # chain a->b->c->d (d not a redirect), plus a 2-cycle x<->y
+    rmap = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    out = {r.src: (r.final, r.hops) for r in resolve_redirects(rmap, doublings=4).collect()}
+    assert out["a"] == ("d", 3)
+    assert out["b"] == ("d", 2)
+    assert out["c"] == ("d", 1)
+    # cycles report the deterministic 2^k-hop pointer: 16 hops lands home
+    assert out["x"] == ("x", 16) and out["y"] == ("y", 16)
+
+
+def test_redirect_long_chain_within_budget(spark):
+    from trianglecount_spark.operators.redirects import resolve_redirects
+
+    # 12-hop chain resolves fully with 4 doublings (2^4 = 16 >= 12)
+    rmap = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(12)], "src string, dst string"
+    )
+    out = {r.src: (r.final, r.hops) for r in resolve_redirects(rmap, doublings=4).collect()}
+    assert out["u0"] == ("u12", 12)
+    assert all(out[f"u{i}"] == ("u12", 12 - i) for i in range(12))

@@ -1742,6 +1742,29 @@ def q_web_reciprocity(spark, sf_dir):
     )
 
 
+def q_web_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py pointer
+    doubling, 4 doublings = chains to 16 hops). The synthetic crawl's
+    redirect map is deterministic: pages whose embedded doc_id ≡ 0
+    (mod 5) act as HTTP 3xx sources, Location = their min outbound
+    link — both engines derive the identical map from the url shape,
+    then the oracle unrolls the same 4 map-compositions."""
+    from trianglecount_spark.functions.extract import extract_links
+    from trianglecount_spark.operators.redirects import resolve_redirects
+
+    mined = extract_links(web_pages_from_documents(spark, sf_dir))
+    doc_id = (
+        F.regexp_extract("src_url", r"/d(\d+)$", 1).cast("long") * 10
+        + F.regexp_extract("src_url", r"^https://s(\d+)\.", 1).cast("long")
+    )
+    rmap = (
+        mined.where((doc_id % 5 == 0) & (F.col("src_url") != F.col("dst_url")))
+        .groupBy(F.col("src_url").alias("src"))
+        .agg(F.min("dst_url").alias("dst"))
+    )
+    return resolve_redirects(rmap, doublings=4)
+
+
 def q_web_pagerank_weighted(spark, sf_dir):
     """Weighted DIRECTED PageRank over the mined link graph: edge weight
     = link multiplicity, contributions rank·w/W_out, sinks handled by
@@ -1868,6 +1891,27 @@ o AS (
   WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.dst < e.src)
 )
 """
+
+
+def _redirects_sql(k: int = 4) -> str:
+    """Oracle for web_redirects: the deterministic redirect map (doc_id
+    ≡ 0 mod 5 sources, min outbound Location) composed with itself k
+    times — pointer doubling unrolled, hops summed exactly."""
+    sql = _WEB + (
+        ", m0 AS (SELECT src_url AS v, min(dst_url) AS nxt, "
+        "CAST(1 AS BIGINT) AS h FROM mined "
+        "WHERE src_url <> dst_url AND ("
+        "CAST(regexp_extract(src_url, '/d(\\d+)$', 1) AS BIGINT) * 10 + "
+        "CAST(regexp_extract(src_url, '^https://s(\\d+)\\.', 1) AS BIGINT)"
+        ") % 5 = 0 GROUP BY 1)"
+    )
+    for r in range(1, k + 1):
+        sql += (
+            f", m{r} AS (SELECT a.v, coalesce(b.nxt, a.nxt) AS nxt, "
+            f"a.h + coalesce(b.h, 0) AS h "
+            f"FROM m{r - 1} a LEFT JOIN m{r - 1} b ON b.v = a.nxt)"
+        )
+    return sql + f" SELECT v AS src, nxt AS final, h AS hops FROM m{k}"
 
 
 def _wpr_sql(k: int = 10, alpha: float = 0.85, digits: int = 4) -> str:
@@ -2037,6 +2081,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_bowtie": q_web_bowtie,
         "web_url_normalize": q_web_url_normalize,
         "web_pagerank_weighted": q_web_pagerank_weighted,
+        "web_redirects": q_web_redirects,
         "web_host_graph": q_web_host_graph,
         "web_mirror_pages": q_web_mirror_pages,
         "web_anchor_text": q_web_anchor_text,
@@ -3293,6 +3338,7 @@ o AS (
         ),
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "web_pagerank_weighted": _wpr_sql(10),
+        "web_redirects": _redirects_sql(4),
         "web_hits": _hits_sql(6),
         "web_components": _WEB_GRAPH.replace("WITH pg", "WITH RECURSIVE pg", 1)
         + (
