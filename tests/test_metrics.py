@@ -274,3 +274,35 @@ def test_mis_star_and_isolated(spark):
     two = _sym(spark, [(1, 2), (3, 4)])
     m2 = {r.v for r in maximal_independent_set(two, max_iter=4).collect()}
     assert len(m2 & {1, 2}) == 1 and len(m2 & {3, 4}) == 1
+
+
+def test_coloring_proper_and_progressive(spark):
+    from trianglecount_spark.operators.mis import luby_coloring
+
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    pairs += [(i, (i + 1) % 40) for i in range(40)]
+    sym = _sym(spark, pairs)
+    edges = {(r.src, r.dst) for r in sym.collect()}
+    colors = {r.v: r.color for r in luby_coloring(sym, n_colors=8, mis_rounds=8).collect()}
+    # proper: no edge is monochromatic
+    assert not any(
+        colors.get(a) == colors.get(b)
+        for a, b in edges
+        if a in colors and b in colors
+    )
+    # each class is maximal in its residual graph: every vertex of class
+    # >= 2 has a class-1 neighbor (else class 1 wasn't maximal)
+    c1 = {v for v, c in colors.items() if c == 1}
+    for v, c in colors.items():
+        if c >= 2:
+            assert any((v, m) in edges for m in c1), v
+
+
+def test_coloring_path_graph_full_coverage(spark):
+    from trianglecount_spark.operators.mis import luby_coloring
+
+    # a 20-path is 2-colorable; 4 Luby classes cover it completely
+    sym = _sym(spark, [(i, i + 1) for i in range(19)])
+    colors = {r.v: r.color for r in luby_coloring(sym, n_colors=4, mis_rounds=8).collect()}
+    assert set(colors) == set(range(20))
+    assert all(colors[i] != colors[i + 1] for i in range(19))

@@ -31,20 +31,27 @@ def _pri(salt: str, r: int, col: str):
 
 
 def maximal_independent_set(
-    edges: DataFrame, max_iter: int = 8, salt: str = "mis"
+    edges: DataFrame,
+    max_iter: int = 8,
+    salt: str = "mis",
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """MIS over a SYMMETRIC simple edge table (src, dst) — rows
     ``(v, round)`` with the Luby round each winner was selected in.
     Isolated vertices win in round 1 (no remaining neighbor to beat).
     Runs at most ``max_iter`` rounds, early-stopping when the remaining
     set empties (one count action per round, like k-core peeling); an
-    exact cross-engine oracle must unroll the SAME number of rounds."""
+    exact cross-engine oracle must unroll the SAME number of rounds.
+    ``vertices`` (one column ``v``) restricts the universe — edges with
+    an endpoint outside it are ignored; vertices isolated WITHIN the
+    universe still win round 1 (``luby_coloring`` relies on this)."""
     rem = (
-        edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        vertices.select("v")
+        if vertices is not None
+        else edges.select(F.col("src").alias("v")).unionByName(
+            edges.select(F.col("dst").alias("v"))
+        )
+    ).distinct().localCheckpoint(eager=True)
     # type-generic empty accumulator (vertex ids may be int64 or urls)
     selected = rem.select("v", F.lit(0).cast("int").alias("round")).where(F.lit(False))
     for r in range(1, max_iter + 1):
@@ -73,3 +80,38 @@ def maximal_independent_set(
         if rem.limit(1).count() == 0:
             break
     return selected
+
+
+def luby_coloring(
+    edges: DataFrame,
+    n_colors: int = 4,
+    mis_rounds: int = 4,
+    salt: str = "color",
+) -> DataFrame:
+    """Greedy distributed graph coloring — color class c is a maximal
+    independent set of the still-uncolored subgraph (Luby 1986 §5: MIS
+    iterated is a (Δ+1)-coloring). Rows ``(v, color)``; the registry/
+    scheduling use case only ever needs the first few classes (the
+    largest ones), so the color budget is EXPLICIT: vertices left
+    uncolored after ``n_colors`` classes are omitted — fixed-budget
+    semantics an exact cross-engine oracle can unroll (colors ×
+    mis_rounds blocks; exhausted budgets are no-ops on both sides).
+    Per-color salts keep the md5 priorities independent across classes.
+    State: one vertex-sized remaining set; every step is a semi-join or
+    groupBy keyed on vertex id."""
+    rem = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = rem.select("v", F.lit(0).cast("int").alias("color")).where(F.lit(False))
+    for c in range(1, n_colors + 1):
+        cls = maximal_independent_set(
+            edges, max_iter=mis_rounds, salt=f"{salt}:{c}", vertices=rem
+        ).select("v")
+        out = out.unionByName(cls.select("v", F.lit(c).cast("int").alias("color")))
+        rem = rem.join(cls, "v", "left_anti").localCheckpoint(eager=True)
+        if rem.limit(1).count() == 0:
+            break
+    return out

@@ -903,6 +903,19 @@ def q_mis_copurchase(spark, sf_dir):
     return maximal_independent_set(copurchase_sym(spark, sf_dir), max_iter=8)
 
 
+def q_coloring_copurchase(spark, sf_dir):
+    """Luby graph coloring (operators/mis.py ``luby_coloring``): the
+    first 4 color classes of the copurchase graph, each class an MIS of
+    the still-uncolored subgraph (4 Luby rounds per class, per-class
+    md5 salts). Fixed (colors × rounds) budget on both engines; the
+    oracle unrolls all 16 blocks."""
+    from trianglecount_spark.operators.mis import luby_coloring
+
+    return luby_coloring(
+        copurchase_sym(spark, sf_dir), n_colors=4, mis_rounds=4
+    )
+
+
 def q_modularity_lpa(spark, sf_dir):
     """Per-community modularity decomposition of the 2-round LPA
     partition (on this dense graph full convergence collapses to ONE
@@ -2007,6 +2020,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_copurchase": q_components_copurchase,
         "lpa_copurchase": q_lpa_copurchase,
         "mis_copurchase": q_mis_copurchase,
+        "coloring_copurchase": q_coloring_copurchase,
         "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
@@ -2468,6 +2482,44 @@ def _mis_sql(k: int = 8, salt: str = "mis", prefix: str = _CP) -> str:
     )
 
 
+def _coloring_sql(
+    n_colors: int = 4, mis_rounds: int = 4, salt: str = "color", prefix: str = _CP
+) -> str:
+    """Oracle for coloring_copurchase: ``luby_coloring`` unrolled —
+    per color class the full MIS round machinery of ``_mis_sql`` over
+    the still-uncolored universe, per-class salts."""
+    sql = prefix + ", u1 AS MATERIALIZED (SELECT DISTINCT src AS v FROM und)"
+    for c in range(1, n_colors + 1):
+        pri = f"md5('{salt}:{c}:"  # + '<r>:' || v + ")"
+        sql += f", rem{c}_0 AS (SELECT v FROM u{c})"
+        for r in range(1, mis_rounds + 1):
+            sql += (
+                f", er{c}_{r} AS MATERIALIZED (SELECT e.src, e.dst FROM und e "
+                f"JOIN rem{c}_{r - 1} a ON a.v = e.src "
+                f"JOIN rem{c}_{r - 1} b ON b.v = e.dst)"
+                f", nm{c}_{r} AS (SELECT src AS v, "
+                f"min({pri}{r}:' || dst)) AS nmin FROM er{c}_{r} GROUP BY 1)"
+                f", sel{c}_{r} AS MATERIALIZED (SELECT r.v FROM rem{c}_{r - 1} r "
+                f"LEFT JOIN nm{c}_{r} n ON n.v = r.v "
+                f"WHERE n.nmin IS NULL OR {pri}{r}:' || r.v) < n.nmin)"
+                f", rm{c}_{r} AS (SELECT v FROM sel{c}_{r} UNION "
+                f"SELECT e.dst AS v FROM er{c}_{r} e JOIN sel{c}_{r} s ON s.v = e.src)"
+                f", rem{c}_{r} AS MATERIALIZED "
+                f"(SELECT v FROM rem{c}_{r - 1} EXCEPT SELECT v FROM rm{c}_{r})"
+            )
+        cls_union = " UNION ".join(
+            f"SELECT v FROM sel{c}_{r}" for r in range(1, mis_rounds + 1)
+        )
+        sql += f", cls{c} AS MATERIALIZED ({cls_union})"
+        sql += (
+            f", u{c + 1} AS MATERIALIZED "
+            f"(SELECT v FROM u{c} EXCEPT SELECT v FROM cls{c})"
+        )
+    return sql + " " + " UNION ALL ".join(
+        f"SELECT v, {c} AS color FROM cls{c}" for c in range(1, n_colors + 1)
+    )
+
+
 def _lpa_sql(k: int = 10, prefix: str = _CP, tail: str | None = None) -> str:
     """The engine's synchronous LPA (operators/lpa.py) unrolled as ``k``
     chained CTEs: per round, every vertex adopts the most frequent
@@ -2851,6 +2903,7 @@ o AS (
         "pagerank_copurchase": _pagerank_sql(30),
         "components_copurchase": _CC_SQL,
         "mis_copurchase": _mis_sql(8),
+        "coloring_copurchase": _coloring_sql(4, 4),
         "lpa_copurchase": _lpa_sql(10),
         # round-10 labels -> exact-integer modularity decomposition:
         # q_num = 2m*intra_sym_c - d_c^2 (DuckDB sum() is HUGEINT ->
