@@ -1040,6 +1040,26 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences — the clickstream bigram table (next-event prediction,
+    funnel discovery). lead() over a window PARTITIONED by user_id
+    (never global — per-user sequences are short and independent, so
+    the window is a plain hash shuffle on user_id at any corpus size);
+    one (from, to) partial-agg shuffle after. Ties broken by event_id
+    exactly like events_sessions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("to_type", F.lead("event_type").over(w))
+    return (
+        nxt.where(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_events_stream_incremental(spark, sf_dir):
     """Incremental triangle maintenance over streamed micro-batches
     (streaming/incremental.py — foreachBatch, delta-proportional work,
@@ -1778,6 +1798,22 @@ def q_web_redirects(spark, sf_dir):
     return resolve_redirects(rmap, doublings=4)
 
 
+def q_web_fetch_slots(spark, sf_dir):
+    """Crawl politeness scheduling: fetch slot = FIFO rank within host
+    (one request per host per wave — the frontier scheduler's core
+    invariant). row_number over a window PARTITIONED by host, ordered
+    by url: per-host queues are independent, so the window is one hash
+    shuffle on host at any frontier size — never a global window. The
+    slot doubles as the round-robin wave number across hosts."""
+    pages = web_pages_from_documents(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        pages.select("url", host.alias("host"))
+        .withColumn("fetch_slot", F.row_number().over(w).cast("long"))
+    )
+
+
 def q_web_pagerank_weighted(spark, sf_dir):
     """Weighted DIRECTED PageRank over the mined link graph: edge weight
     = link multiplicity, contributions rank·w/W_out, sinks handled by
@@ -2027,6 +2063,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation": q_lpa_nation,
         "lineitem_agg": q_lineitem_agg,
         "events_sessions": q_events_sessions,
+        "events_transitions": q_events_transitions,
         "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
@@ -2096,6 +2133,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_normalize": q_web_url_normalize,
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_redirects": q_web_redirects,
+        "web_fetch_slots": q_web_fetch_slots,
         "web_host_graph": q_web_host_graph,
         "web_mirror_pages": q_web_mirror_pages,
         "web_anchor_text": q_web_anchor_text,
@@ -2965,6 +3003,13 @@ o AS (
             "WHEN epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions FROM x GROUP BY user_id"
         ),
+        "events_transitions": (
+            "WITH x AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS to_type FROM events) "
+            "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
         "events_stream_windows": (
             # streaming append-mode emission = windows fully closed by the
             # final watermark max(ts) - 2h (see windowed_event_counts)
@@ -3392,6 +3437,12 @@ o AS (
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "web_pagerank_weighted": _wpr_sql(10),
         "web_redirects": _redirects_sql(4),
+        "web_fetch_slots": _WEB + (
+            "SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            "CAST(row_number() OVER (PARTITION BY "
+            "regexp_extract(url, '^https?://([^/]+)', 1) ORDER BY url) "
+            "AS BIGINT) AS fetch_slot FROM pg"
+        ),
         "web_hits": _hits_sql(6),
         "web_components": _WEB_GRAPH.replace("WITH pg", "WITH RECURSIVE pg", 1)
         + (
