@@ -306,3 +306,34 @@ def test_coloring_path_graph_full_coverage(spark):
     colors = {r.v: r.color for r in luby_coloring(sym, n_colors=4, mis_rounds=8).collect()}
     assert set(colors) == set(range(20))
     assert all(colors[i] != colors[i + 1] for i in range(19))
+
+
+def test_matching_properties(spark):
+    from trianglecount_spark.operators.matching import maximal_matching
+
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    pairs += [(i, (i + 1) % 40) for i in range(40)]
+    sym = _sym(spark, pairs)
+    edges = {(r.src, r.dst) for r in sym.collect()}
+    m = [(r.src, r.dst) for r in maximal_matching(sym, max_iter=10).collect()]
+    # valid matching: vertex-disjoint
+    used = [v for e in m for v in e]
+    assert len(used) == len(set(used))
+    # matched pairs are real edges
+    assert all((a, b) in edges for a, b in m)
+    # maximal: every edge touches a matched vertex
+    assert all(a in set(used) or b in set(used) for a, b in edges)
+    # determinism
+    m2 = [(r.src, r.dst) for r in maximal_matching(sym, max_iter=10).collect()]
+    assert sorted(m) == sorted(m2)
+
+
+def test_matching_goldens(spark):
+    from trianglecount_spark.operators.matching import maximal_matching
+
+    # a single edge matches itself; a triangle matches exactly one edge
+    one = _sym(spark, [(1, 2)])
+    assert [(r.src, r.dst) for r in maximal_matching(one, max_iter=4).collect()] == [(1, 2)]
+    tri = _sym(spark, [(0, 1), (1, 2), (0, 2)])
+    mt = [(r.src, r.dst) for r in maximal_matching(tri, max_iter=4).collect()]
+    assert len(mt) == 1 and mt[0] in {(0, 1), (1, 2), (0, 2)}

@@ -1,0 +1,88 @@
+"""Maximal matching — locally-minimal edge selection with deterministic
+priorities ([EXT] distributed-graph primitive, the MIS dual).
+
+Each round every remaining edge draws a priority; an edge joins the
+matching iff its priority is the strict minimum among ALL edges incident
+to either endpoint (a locally-minimal edge — no two such edges can share
+a vertex, so the round's winners are vertex-disjoint by construction).
+Matched endpoints leave the graph. Expected O(log m) rounds (Israeli &
+Itai 1986): at least half the remaining edges are expected to lose an
+endpoint per round.
+
+Spark formulation mirrors operators/mis.py: priorities are
+``md5(salt:round:src:dst)`` — no RNG state, bit-reproducible on any
+engine and partitioning; one round = two groupBy-mins (per-src and
+per-dst incident minima), one double equi-join to pick winners, two
+anti-joins to drop matched endpoints. State is the remaining edge set;
+lineage truncated per round via eager ``localCheckpoint``.
+
+The reference has no matching analog (triangle kernels only,
+src/WithPartition/Final_updated_corrected.cu); driver-mandated breadth
+in the MIS/LPA primitive family. Use cases: one-round pair
+assignment (dedup-merge scheduling, co-location pairing), matching-based
+graph coarsening for multilevel partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def maximal_matching(
+    edges: DataFrame, max_iter: int = 8, salt: str = "match"
+) -> DataFrame:
+    """Maximal matching over a SYMMETRIC simple edge table (src, dst) —
+    rows ``(src, dst, round)`` with src < dst, vertex-disjoint, and
+    maximal (every unmatched edge shares an endpoint with a matched
+    one once the remaining set empties). Runs at most ``max_iter``
+    rounds, early-stopping on an empty remainder; an exact cross-engine
+    oracle unrolls the SAME rounds (exhausted budgets are no-ops)."""
+    rem = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = rem.select(
+        "src", "dst", F.lit(0).cast("int").alias("round")
+    ).where(F.lit(False))
+    for r in range(1, max_iter + 1):
+        pri = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.lit(str(r)),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+            )
+        )
+        e = rem.select("src", "dst", pri.alias("p"))
+        # per-VERTEX incident minimum — a vertex appears as src in some
+        # remaining edges and dst in others; both roles must compete,
+        # else two "winners" could share an endpoint
+        inc = e.select(F.col("src").alias("v"), "p").unionByName(
+            e.select(F.col("dst").alias("v"), "p")
+        )
+        vmin = inc.groupBy("v").agg(F.min("p").alias("vm"))
+        won = (
+            e.join(vmin.select(F.col("v").alias("src"), F.col("vm").alias("vs")), "src")
+            .join(vmin.select(F.col("v").alias("dst"), F.col("vm").alias("vd")), "dst")
+            .where((F.col("p") == F.col("vs")) & (F.col("p") == F.col("vd")))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(won.select("src", "dst", F.lit(r).cast("int").alias("round")))
+        matched = (
+            won.select(F.col("src").alias("v"))
+            .unionByName(won.select(F.col("dst").alias("v")))
+        )
+        rem = (
+            rem.join(matched.withColumnRenamed("v", "src"), "src", "left_anti")
+            .join(matched.withColumnRenamed("v", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        if rem.limit(1).count() == 0:
+            break
+    return out

@@ -903,6 +903,16 @@ def q_mis_copurchase(spark, sf_dir):
     return maximal_independent_set(copurchase_sym(spark, sf_dir), max_iter=8)
 
 
+def q_matching_copurchase(spark, sf_dir):
+    """Maximal matching over the copurchase graph (operators/matching.py
+    — locally-minimal edges under deterministic md5 priorities). Both
+    sides run the same 8-round budget; the oracle unrolls the identical
+    rounds and matches (src, dst, round) exactly."""
+    from trianglecount_spark.operators.matching import maximal_matching
+
+    return maximal_matching(copurchase_sym(spark, sf_dir), max_iter=8)
+
+
 def q_coloring_copurchase(spark, sf_dir):
     """Luby graph coloring (operators/mis.py ``luby_coloring``): the
     first 4 color classes of the copurchase graph, each class an MIS of
@@ -2057,6 +2067,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_copurchase": q_lpa_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "coloring_copurchase": q_coloring_copurchase,
+        "matching_copurchase": q_matching_copurchase,
         "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
@@ -2520,6 +2531,33 @@ def _mis_sql(k: int = 8, salt: str = "mis", prefix: str = _CP) -> str:
     )
 
 
+def _matching_sql(k: int = 8, salt: str = "match", prefix: str = _CP) -> str:
+    """Oracle for matching_copurchase: locally-minimal-edge rounds
+    unrolled — per round the per-vertex incident priority minimum over
+    BOTH endpoint roles, winners where the edge priority equals both
+    endpoint minima, matched vertices removed."""
+    sql = prefix + ", e0 AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)"
+    for r in range(1, k + 1):
+        sql += (
+            f", p{r} AS MATERIALIZED (SELECT src, dst, "
+            f"md5('{salt}:{r}:' || src || ':' || dst) AS p FROM e{r - 1})"
+            f", vm{r} AS (SELECT v, min(p) AS vm FROM ("
+            f"SELECT src AS v, p FROM p{r} UNION ALL "
+            f"SELECT dst AS v, p FROM p{r}) GROUP BY 1)"
+            f", won{r} AS MATERIALIZED (SELECT x.src, x.dst FROM p{r} x "
+            f"JOIN vm{r} a ON a.v = x.src JOIN vm{r} b ON b.v = x.dst "
+            f"WHERE x.p = a.vm AND x.p = b.vm)"
+            f", mv{r} AS (SELECT src AS v FROM won{r} "
+            f"UNION SELECT dst AS v FROM won{r})"
+            f", e{r} AS MATERIALIZED (SELECT src, dst FROM p{r} "
+            f"WHERE src NOT IN (SELECT v FROM mv{r}) "
+            f"AND dst NOT IN (SELECT v FROM mv{r}))"
+        )
+    return sql + " " + " UNION ALL ".join(
+        f"SELECT src, dst, {r} AS round FROM won{r}" for r in range(1, k + 1)
+    )
+
+
 def _coloring_sql(
     n_colors: int = 4, mis_rounds: int = 4, salt: str = "color", prefix: str = _CP
 ) -> str:
@@ -2942,6 +2980,7 @@ o AS (
         "components_copurchase": _CC_SQL,
         "mis_copurchase": _mis_sql(8),
         "coloring_copurchase": _coloring_sql(4, 4),
+        "matching_copurchase": _matching_sql(8),
         "lpa_copurchase": _lpa_sql(10),
         # round-10 labels -> exact-integer modularity decomposition:
         # q_num = 2m*intra_sym_c - d_c^2 (DuckDB sum() is HUGEINT ->
