@@ -17,3 +17,23 @@ def test_hll_accuracy_and_partition_invariance(spark):
         row2.s_scaled,
         row2.estimate,
     )
+
+
+def test_cms_overestimates_and_exact_when_sparse(spark):
+    from trianglecount_spark.operators.sketches import cms_estimate, cms_sketch
+    from pyspark.sql import functions as F
+
+    # 5 distinct items, wide sketch => collisions vanishingly unlikely:
+    # estimates equal exact counts; with a tiny sketch they only inflate
+    occ = [(f"item{i % 5}",) for i in range(100)]
+    df = spark.createDataFrame(occ, "x string")
+    exact = {r.x: r.n for r in df.groupBy("x").agg(F.count("*").alias("n")).collect()}
+
+    wide = cms_estimate(cms_sketch(df, "x", width=4096, depth=3), df.distinct(), "x",
+                        width=4096, depth=3)
+    assert {r.x: r.est_n for r in wide.collect()} == exact
+
+    tiny = cms_estimate(cms_sketch(df, "x", width=2, depth=1), df.distinct(), "x",
+                        width=2, depth=1)
+    for r in tiny.collect():
+        assert r.est_n >= exact[r.x]  # CMS never undercounts

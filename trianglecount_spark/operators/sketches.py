@@ -114,3 +114,71 @@ def hll_sketch(df: DataFrame, col: str) -> DataFrame:
         "s_scaled",
         (F.expr(ALPHA_M2_SCALE) / F.col("s_scaled")).alias("estimate"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch build: ``(d, bucket, n)`` — depth×width counters
+    from one pass over the occurrence table (one row per occurrence of
+    ``col``). Row d's bucket for item x is
+    ``md5('<salt>:<d>:' || x) mod width`` — portable, deterministic,
+    bit-identical on any engine/partitioning (same rationale as the
+    portable HLL above). Build shape: explode each occurrence into
+    ``depth`` rows, then ONE partial-agg shuffle on (d, bucket) — the
+    sketch (depth·width counters) is broadcast-sized regardless of
+    corpus size, which is the whole point: heavy-hitter queries at
+    100 TB touch the fixed-size sketch, never the corpus."""
+    d = F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("d")
+    rows = df.select(F.col(col).alias("x"), d)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("d"), F.col("x"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return rows.select("d", bucket.alias("bucket")).groupBy("d", "bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates from a count-min sketch: ``(<col>, est_n)`` with
+    ``est_n = min_d sketch[d][bucket_d(key)]`` — always ≥ the true
+    count (collisions only ever ADD). ``keys`` is the (small) set of
+    candidates to score; the join touches depth rows per key against
+    the broadcast-sized sketch."""
+    d = F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("d")
+    kb = keys.select(F.col(col).alias("x"), d)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("d"), F.col("x"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    probes = kb.select("x", F.col("d").alias("d"), bucket.alias("bucket"))
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("x")
+        .agg(F.min("n").alias("est_n"))
+        .select(F.col("x").alias(col), "est_n")
+    )

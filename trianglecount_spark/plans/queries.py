@@ -1221,6 +1221,24 @@ def q_docs_window_dedup(spark, sf_dir):
     )
 
 
+def q_docs_token_cms(spark, sf_dir):
+    """Count-min-sketch token frequencies (operators/sketches.py):
+    build the depth×width counter table in one partial-agg pass, then
+    point-estimate every vocabulary token from the fixed-size sketch —
+    the heavy-hitter shape that replaces exact token counting when the
+    vocabulary itself is too large to shuffle. Estimates are exact
+    integers (min over depth counters), so the oracle — the identical
+    portable-md5 sketch in DuckDB — matches bit-for-bit, collisions
+    included."""
+    from trianglecount_spark.operators.sketches import cms_estimate, cms_sketch
+
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    sketch = cms_sketch(tok, "t", width=512, depth=3)
+    return cms_estimate(sketch, tok.distinct(), "t", width=512, depth=3)
+
+
 def q_docs_minhash_candidates(spark, sf_dir):
     from trianglecount_spark.operators.dedup import lsh_candidates, minhash_signatures
 
@@ -2121,6 +2139,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_window_dedup": q_docs_window_dedup,
+        "docs_token_cms": q_docs_token_cms,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
         "docs_dedup_clusters": q_docs_dedup_clusters,
@@ -3328,6 +3347,23 @@ o AS (
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
             "JOIN sizes sb ON sb.doc_id = inter.b "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        # identical portable count-min sketch: same md5 row-hashes, same
+        # 512x3 geometry — estimates (collisions included) match exactly
+        "docs_token_cms": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS x "
+            "FROM documents), "
+            "rws AS (SELECT x, unnest(range(3)) AS d FROM tok), "
+            "sk AS (SELECT d, CAST(CAST('0x' || substring("
+            "md5('cms:' || d || ':' || x), 1, 15) AS UBIGINT) AS BIGINT) "
+            "% 512 AS bucket, CAST(count(*) AS BIGINT) AS n "
+            "FROM rws GROUP BY 1, 2), "
+            "ks AS (SELECT DISTINCT x FROM tok), "
+            "pr AS (SELECT x, d, CAST(CAST('0x' || substring("
+            "md5('cms:' || d || ':' || x), 1, 15) AS UBIGINT) AS BIGINT) "
+            "% 512 AS bucket FROM ks, (SELECT unnest(range(3)) AS d)) "
+            "SELECT x AS t, min(n) AS est_n "
+            "FROM pr JOIN sk USING (d, bucket) GROUP BY 1"
         ),
         # identical 8-token windows, df-capped at 10 exactly like the
         # engine; containment over each doc's FULL distinct-window count
