@@ -1221,6 +1221,39 @@ def q_docs_window_dedup(spark, sf_dir):
     )
 
 
+def q_docs_pack_plan(spark, sf_dir):
+    """Training-sequence packing plan (GPT-style concat-and-cut): docs
+    are concatenated in deterministic order within each source stream
+    and cut every 256 tokens; each doc reports its starting token
+    offset, the training bin its first token lands in, and the offset
+    within that bin. The cumulative sum runs over a window PARTITIONED
+    by source — pretraining mixtures pack per-shard exactly like this,
+    and the per-source window keeps the cumsum distributed (a global
+    document order would serialize into one task). Exact integers
+    throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        F.expr("tok_offset div 256").alias("bin"),
+        (F.col("tok_offset") % 256).alias("bin_offset"),
+    )
+
+
 def q_docs_token_cms(spark, sf_dir):
     """Count-min-sketch token frequencies (operators/sketches.py):
     build the depth×width counter table in one partial-agg pass, then
@@ -2140,6 +2173,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_window_dedup": q_docs_window_dedup,
         "docs_token_cms": q_docs_token_cms,
+        "docs_pack_plan": q_docs_pack_plan,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
         "docs_dedup_clusters": q_docs_dedup_clusters,
@@ -3347,6 +3381,17 @@ o AS (
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
             "JOIN sizes sb ON sb.doc_id = inter.b "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        "docs_pack_plan": (
+            "WITH d AS (SELECT doc_id, source, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "o AS (SELECT doc_id, source, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM d) "
+            "SELECT doc_id, source, n_tokens, tok_offset, "
+            "tok_offset // 256 AS bin, tok_offset % 256 AS bin_offset FROM o"
         ),
         # identical portable count-min sketch: same md5 row-hashes, same
         # 512x3 geometry — estimates (collisions included) match exactly
