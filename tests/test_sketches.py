@@ -37,3 +37,19 @@ def test_cms_overestimates_and_exact_when_sparse(spark):
                         width=2, depth=1)
     for r in tiny.collect():
         assert r.est_n >= exact[r.x]  # CMS never undercounts
+
+
+def test_bloom_no_false_negatives(spark):
+    from trianglecount_spark.operators.sketches import bloom_build, bloom_maybe_contains
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(200)], "x string")
+    others = spark.createDataFrame([(f"other{i}",) for i in range(200)], "x string")
+    bits = bloom_build(members, "x", m_bits=65536, k_hashes=4)
+    # every member reports maybe_member (Bloom guarantee)
+    got = {r.x: r.maybe_member for r in
+           bloom_maybe_contains(bits, members, "x", m_bits=65536, k_hashes=4).collect()}
+    assert all(got.values()) and len(got) == 200
+    # a wide filter rejects essentially all non-members (fp rate ~(kn/m)^k)
+    neg = {r.x: r.maybe_member for r in
+           bloom_maybe_contains(bits, others, "x", m_bits=65536, k_hashes=4).collect()}
+    assert sum(neg.values()) <= 2

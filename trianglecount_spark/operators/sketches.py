@@ -182,3 +182,69 @@ def cms_estimate(
         .agg(F.min("n").alias("est_n"))
         .select(F.col("x").alias(col), "est_n")
     )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 65536, k_hashes: int = 4, salt: str = "bloom"
+) -> DataFrame:
+    """Bloom filter build: the distinct set-bit positions (one column
+    ``bit``) for the membership set — rows ≤ m_bits, so the built
+    filter is broadcast-sized no matter how many members went in (the
+    crawl-frontier \"have we fetched this url\" shape: the fetched set
+    is petabytes, the filter is kilobytes). Bit j for member x is
+    ``md5('<salt>:<j>:' || x) mod m_bits`` — portable and
+    deterministic, so even false positives are reproducible
+    cross-engine."""
+    j = F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("j")
+    rows = df.select(F.col(col).alias("x"), j)
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("j"), F.col("x"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return rows.select(bit.alias("bit")).distinct()
+
+
+def bloom_maybe_contains(
+    bits: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership probe: ``(<col>, maybe_member)`` — true iff ALL
+    ``k_hashes`` bit positions are set (no false negatives; false
+    positives bounded by the m/n ratio and identical cross-engine).
+    The probe explodes k rows per candidate and semi-counts hits
+    against the (broadcastable) bit table."""
+    j = F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("j")
+    rows = candidates.select(F.col(col).alias("x"), j)
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("j"), F.col("x"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    probes = rows.select("x", bit.alias("bit"))
+    hits = probes.join(bits, "bit", "left_semi").groupBy("x").agg(
+        F.count("*").alias("h")
+    )
+    return (
+        candidates.select(F.col(col).alias("x"))
+        .distinct()
+        .join(hits, "x", "left")
+        .select(
+            F.col("x").alias(col),
+            (F.coalesce("h", F.lit(0)) == k_hashes).alias("maybe_member"),
+        )
+    )

@@ -1859,6 +1859,26 @@ def q_web_redirects(spark, sf_dir):
     return resolve_redirects(rmap, doublings=4)
 
 
+def q_web_frontier_bloom(spark, sf_dir):
+    """Crawl-frontier membership via a Bloom filter
+    (operators/sketches.py): mined link targets probed against the
+    fetched-url filter — \"maybe fetched\" vs \"definitely new\". The
+    filter is ≤ m_bits rows however large the fetched set grows, so the
+    probe join broadcasts where an exact anti-join against the full
+    fetched table would shuffle both sides (that exact form is
+    web_dangling_links; this is its constant-memory scale analog).
+    Portable md5 bits ⇒ even false positives replay identically in the
+    DuckDB oracle."""
+    from trianglecount_spark.functions.extract import extract_links
+    from trianglecount_spark.operators.sketches import bloom_build, bloom_maybe_contains
+
+    pages = web_pages_from_documents(spark, sf_dir)
+    mined = extract_links(pages)
+    bits = bloom_build(pages, "url", m_bits=65536, k_hashes=4)
+    cands = mined.select(F.col("dst_url").alias("url")).distinct()
+    return bloom_maybe_contains(bits, cands, "url", m_bits=65536, k_hashes=4)
+
+
 def q_web_fetch_slots(spark, sf_dir):
     """Crawl politeness scheduling: fetch slot = FIFO rank within host
     (one request per host per wave — the frontier scheduler's core
@@ -2198,6 +2218,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pagerank_weighted": q_web_pagerank_weighted,
         "web_redirects": q_web_redirects,
         "web_fetch_slots": q_web_fetch_slots,
+        "web_frontier_bloom": q_web_frontier_bloom,
         "web_host_graph": q_web_host_graph,
         "web_mirror_pages": q_web_mirror_pages,
         "web_anchor_text": q_web_anchor_text,
@@ -3557,6 +3578,19 @@ o AS (
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "web_pagerank_weighted": _wpr_sql(10),
         "web_redirects": _redirects_sql(4),
+        "web_frontier_bloom": _WEB + (
+            ", bits AS (SELECT DISTINCT CAST(CAST('0x' || substring("
+            "md5('bloom:' || j || ':' || url), 1, 15) AS UBIGINT) AS BIGINT) "
+            "% 65536 AS bit FROM pg, (SELECT unnest(range(4)) AS j)), "
+            "cand AS (SELECT DISTINCT dst_url AS x FROM mined), "
+            "pr AS (SELECT x, CAST(CAST('0x' || substring("
+            "md5('bloom:' || j || ':' || x), 1, 15) AS UBIGINT) AS BIGINT) "
+            "% 65536 AS bit FROM cand, (SELECT unnest(range(4)) AS j)), "
+            "hits AS (SELECT x, count(*) AS h FROM pr "
+            "WHERE bit IN (SELECT bit FROM bits) GROUP BY 1) "
+            "SELECT c.x AS url, coalesce(h, 0) = 4 AS maybe_member "
+            "FROM cand c LEFT JOIN hits ON hits.x = c.x"
+        ),
         "web_fetch_slots": _WEB + (
             "SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             "CAST(row_number() OVER (PARTITION BY "
