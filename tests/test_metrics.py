@@ -337,3 +337,25 @@ def test_matching_goldens(spark):
     tri = _sym(spark, [(0, 1), (1, 2), (0, 2)])
     mt = [(r.src, r.dst) for r in maximal_matching(tri, max_iter=4).collect()]
     assert len(mt) == 1 and mt[0] in {(0, 1), (1, 2), (0, 2)}
+
+
+def test_coarsen_by_matching(spark):
+    from pyspark.sql import functions as F
+    from trianglecount_spark.operators.matching import coarsen_by_matching, maximal_matching
+
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    pairs += [(i, (i + 1) % 40) for i in range(40)]
+    sym = _sym(spark, pairs)
+    n_orig = sym.where("src < dst").count()
+    m = maximal_matching(sym, max_iter=10).count()
+    coarse = coarsen_by_matching(sym, max_iter=10)
+    rows = coarse.collect()
+    # weight conservation: every original edge lands in exactly one
+    # coarse edge unless it collapsed inside a matched pair
+    assert sum(r.weight for r in rows) == n_orig - m
+    # supervertex count shrinks by the matching size
+    verts = {v for r in rows for v in (r.src, r.dst)}
+    orig_verts = {v for p in pairs for v in p}
+    assert len(verts) <= len(orig_verts) - m
+    # no self loops, canonical orientation
+    assert all(r.src < r.dst for r in rows)

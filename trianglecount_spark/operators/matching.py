@@ -86,3 +86,41 @@ def maximal_matching(
         if rem.limit(1).count() == 0:
             break
     return out
+
+
+def coarsen_by_matching(
+    edges: DataFrame, max_iter: int = 8, salt: str = "match"
+) -> DataFrame:
+    """One multilevel-coarsening step (the Metis/Graclus contraction):
+    compute a maximal matching, merge each matched pair into a
+    supervertex named by its smaller endpoint, and re-express the graph
+    over supervertices — ``(src, dst, weight)`` with src < dst, weight =
+    number of original parallel edges collapsed. Halves the vertex set
+    (minus unmatched), preserving cut structure — the standard
+    preprocessing for partitioning a trillion-edge graph before any
+    expensive algorithm runs. Shapes: the matching (see
+    ``maximal_matching``), one broadcast-friendly rep-map join per
+    endpoint, one (src, dst) partial-agg shuffle."""
+    m = maximal_matching(edges, max_iter=max_iter, salt=salt)
+    # rep map: both endpoints of a matched edge -> the smaller one
+    rep = m.select(F.col("src").alias("v"), F.col("src").alias("rep")).unionByName(
+        m.select(F.col("dst").alias("v"), F.col("src").alias("rep"))
+    )
+    e = (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(rep.withColumnRenamed("v", "src").withColumnRenamed("rep", "rs"), "src", "left")
+        .join(rep.withColumnRenamed("v", "dst").withColumnRenamed("rep", "rd"), "dst", "left")
+        .select(
+            F.coalesce("rs", F.col("src")).alias("a"),
+            F.coalesce("rd", F.col("dst")).alias("b"),
+        )
+    )
+    return (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )

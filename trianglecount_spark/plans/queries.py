@@ -913,6 +913,16 @@ def q_matching_copurchase(spark, sf_dir):
     return maximal_matching(copurchase_sym(spark, sf_dir), max_iter=8)
 
 
+def q_coarsen_copurchase(spark, sf_dir):
+    """One multilevel coarsening step (operators/matching.py
+    ``coarsen_by_matching``): contract the 8-round maximal matching,
+    re-aggregate parallel edges into weights. The oracle replays the
+    matching rounds and the identical contraction."""
+    from trianglecount_spark.operators.matching import coarsen_by_matching
+
+    return coarsen_by_matching(copurchase_sym(spark, sf_dir), max_iter=8)
+
+
 def q_coloring_copurchase(spark, sf_dir):
     """Luby graph coloring (operators/mis.py ``luby_coloring``): the
     first 4 color classes of the copurchase graph, each class an MIS of
@@ -2139,6 +2149,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copurchase": q_mis_copurchase,
         "coloring_copurchase": q_coloring_copurchase,
         "matching_copurchase": q_matching_copurchase,
+        "coarsen_copurchase": q_coarsen_copurchase,
         "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
@@ -2605,11 +2616,22 @@ def _mis_sql(k: int = 8, salt: str = "mis", prefix: str = _CP) -> str:
     )
 
 
-def _matching_sql(k: int = 8, salt: str = "match", prefix: str = _CP) -> str:
+def _matching_sql(
+    k: int = 8, salt: str = "match", prefix: str = _CP, tail: str | None = None
+) -> str:
     """Oracle for matching_copurchase: locally-minimal-edge rounds
     unrolled — per round the per-vertex incident priority minimum over
     BOTH endpoint roles, winners where the edge priority equals both
-    endpoint minima, matched vertices removed."""
+    endpoint minima, matched vertices removed. ``tail`` replaces the
+    default (src, dst, round) projection; it sees ``mm`` = the union of
+    all winners (coarsen_copurchase builds its contraction on it)."""
+    if tail is not None:
+        sql = _matching_sql(k, salt, prefix)
+        blocks = sql[: sql.rindex(" SELECT src, dst, 1 AS round")]
+        mm = " UNION ALL ".join(
+            f"SELECT src, dst FROM won{r}" for r in range(1, k + 1)
+        )
+        return f"{blocks}, mm AS MATERIALIZED ({mm}) {tail}"
     sql = prefix + ", e0 AS MATERIALIZED (SELECT src, dst FROM und WHERE src < dst)"
     for r in range(1, k + 1):
         sql += (
@@ -3055,6 +3077,21 @@ o AS (
         "mis_copurchase": _mis_sql(8),
         "coloring_copurchase": _coloring_sql(4, 4),
         "matching_copurchase": _matching_sql(8),
+        "coarsen_copurchase": _matching_sql(
+            8,
+            tail=(
+                ", rep AS (SELECT src AS v, src AS rep FROM mm "
+                "UNION ALL SELECT dst AS v, src AS rep FROM mm), "
+                "ce AS (SELECT coalesce(ra.rep, e.src) AS a, "
+                "coalesce(rb.rep, e.dst) AS b "
+                "FROM (SELECT src, dst FROM und WHERE src < dst) e "
+                "LEFT JOIN rep ra ON ra.v = e.src "
+                "LEFT JOIN rep rb ON rb.v = e.dst) "
+                "SELECT least(a, b) AS src, greatest(a, b) AS dst, "
+                "CAST(count(*) AS BIGINT) AS weight FROM ce "
+                "WHERE a <> b GROUP BY 1, 2"
+            ),
+        ),
         "lpa_copurchase": _lpa_sql(10),
         # round-10 labels -> exact-integer modularity decomposition:
         # q_num = 2m*intra_sym_c - d_c^2 (DuckDB sum() is HUGEINT ->
