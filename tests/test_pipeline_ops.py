@@ -228,3 +228,31 @@ def test_window_containment_boilerplate_cap(spark):
     assert window_containment_pairs(docs, k=4, max_df=3).count() == 0
     # raising the cap re-admits the shared window: all C(5,2) pairs
     assert window_containment_pairs(docs, k=4, max_df=10).count() == 10
+
+
+def test_quantized_knn_matches_exact_ranking(spark):
+    import numpy as np
+    from trianglecount_spark.operators.knn import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        quantize_int8_vectors,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(80, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    qd = quantize_int8_vectors(df)
+    rows = qd.collect()
+    # quantization envelope: components in [-127, 127], max |comp| = 127
+    for r in rows:
+        assert max(abs(c) for c in r.qvec) == 127
+        assert r.qn2 == sum(c * c for c in r.qvec)
+
+    qs = df.where("vec_id < 8")
+    exact = {(r.q, r.nbr) for r in cosine_topk_bruteforce(qs, df, k=5).collect()}
+    quant = {(r.q, r.nbr) for r in cosine_topk_quantized(qs, df, k=5).collect()}
+    # int8 on gaussian vectors preserves nearly all of the top-5 set
+    assert len(exact & quant) / len(exact) >= 0.9

@@ -403,3 +403,84 @@ def ivf_topk(
     )
     sims = cand.select("q", "nbr", _cosine_expr().alias("sim"))
     return _topk(sims, k)
+
+
+def quantize_int8_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization: ``<id_col>, qvec (array<int>), qn2``
+    — per-vector scale 127/max|x|, exact integer squared norm. 4x
+    memory/bandwidth reduction for the ANN scan at 100 TB, and — because
+    the scale, products and round() are single IEEE ops in a fixed
+    order — the quantized vectors are bit-identical on any engine, so
+    downstream integer dot products are EXACTLY oracle-checkable
+    (unlike float cosine, which depends on summation order)."""
+    q = (
+        f"transform({vec_col}, x -> cast(round(cast(x AS double) * "
+        f"(127.0 / greatest(array_max(transform({vec_col}, "
+        f"y -> abs(cast(y AS double)))), 1e-300))) AS int))"
+    )
+    qv = df.select(id_col, F.expr(q).alias("qvec"))
+    n2 = "aggregate(qvec, cast(0 AS bigint), (acc, x) -> acc + cast(x AS bigint) * x)"
+    return qv.select(id_col, "qvec", F.expr(n2).alias("qn2"))
+
+
+def cosine_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over int8-QUANTIZED vectors: ``q, nbr, dot, sim``.
+
+    Same scan shape as ``cosine_topk_bruteforce`` (collected probe set,
+    numpy matmul per Arrow batch, partial top-k, global window) but the
+    matmul runs on int64-exact quantized integers: ``dot`` is an exact
+    BIGINT, and ``sim = dot / (sqrt(qn2)·sqrt(cn2))`` is three
+    correctly-rounded IEEE ops on exact integers — bit-identical in any
+    engine, so ranking and values hash-match a SQL oracle with no
+    summation-order caveat."""
+    qq = quantize_int8_vectors(queries, id_col, vec_col)
+    qc = quantize_int8_vectors(corpus, id_col, vec_col)
+    qrows = qq.collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "q long, nbr long, dot long, sim double"
+        )
+    q_ids = [int(r[id_col]) for r in qrows]
+    Q_l = [list(r["qvec"]) for r in qrows]
+    qn2_l = [int(r["qn2"]) for r in qrows]
+
+    def partial(it):
+        qid = np.asarray(q_ids, dtype=np.int64)
+        Qm = np.asarray(Q_l, dtype=np.int64)
+        sq = np.sqrt(np.asarray(qn2_l, dtype=np.float64))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sc = np.sqrt(pdf["qn2"].to_numpy(dtype=np.float64))
+            D = Qm @ C.T  # exact: |dot| <= 64 * 127^2 << 2^53
+            S = D / (sq[:, None] * sc[None, :])
+            S[qid[:, None] == cid[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            kth = S[np.arange(len(qid))[:, None], part].min(axis=1)
+            keep_q, keep_c = np.where(S >= kth[:, None])
+            sims = S[keep_q, keep_c]
+            ok = np.isfinite(sims)
+            yield pd.DataFrame(
+                {
+                    "q": qid[keep_q[ok]],
+                    "nbr": cid[keep_c[ok]],
+                    "dot": D[keep_q[ok], keep_c[ok]],
+                    "sim": sims[ok],
+                }
+            )
+
+    partials = qc.withColumnRenamed(id_col, "vec_id").mapInPandas(
+        partial, schema="q long, nbr long, dot long, sim double"
+    )
+    return _topk(partials, k)

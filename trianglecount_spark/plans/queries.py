@@ -1472,6 +1472,22 @@ def q_emb_knn(spark, sf_dir):
     )
 
 
+def q_emb_knn_quantized(spark, sf_dir):
+    """Exact top-k over int8-QUANTIZED embeddings (operators/knn.py
+    ``cosine_topk_quantized``) — the 4x-compressed scan used when the
+    corpus no longer fits executor memory in float32. Integer dot
+    products are exact BIGINTs and the similarity is three fixed-order
+    IEEE ops, so unlike float cosine the ENTIRE ranking is bit-stable
+    and the DuckDB oracle matches with no rounding caveat."""
+    from trianglecount_spark.operators.knn import cosine_topk_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_quantized(qs, emb, k=5).select(
+        "q", "nbr", "dot", F.round("sim", 6).alias("sim")
+    )
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     """Exact cosine near-dup pairs via BLOCKED all-pairs matmul: B·(B+1)/2
     block-pair tasks, one numpy matmul each — no row-level cross join, no
@@ -2215,6 +2231,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_knn": q_emb_knn,
+        "emb_knn_quantized": q_emb_knn_quantized,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "web_text_extraction": q_web_text_extraction,
         "web_edges_mined": q_web_edges_mined,
@@ -3586,6 +3603,26 @@ o AS (
             "r AS (SELECT q, nbr, sim, row_number() OVER "
             "(PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk FROM s) "
             "SELECT q, nbr, round(sim, 6) AS sim FROM r WHERE rk <= 5"
+        ),
+        # identical int8 quantization (one scale division, one product,
+        # one half-away round per element), exact BIGINT dots, and a
+        # 3-IEEE-op similarity — bit-stable ranking on both engines
+        "emb_knn_quantized": (
+            "WITH e AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / greatest("
+            "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
+            "1e-300))) AS INT)) AS qvec FROM embeddings), "
+            "n AS (SELECT vec_id, qvec, CAST(list_sum(list_transform(qvec, "
+            "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qn2 FROM e), "
+            "s AS (SELECT a.vec_id AS q, b.vec_id AS nbr, "
+            "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
+            "p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot, "
+            "a.qn2 AS qa2, b.qn2 AS cb2 FROM n a, n b "
+            "WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id), "
+            "r AS (SELECT q, nbr, dot, dot / (sqrt(qa2) * sqrt(cb2)) AS sim, "
+            "row_number() OVER (PARTITION BY q ORDER BY "
+            "dot / (sqrt(qa2) * sqrt(cb2)) DESC, nbr ASC) AS rk FROM s) "
+            "SELECT q, nbr, dot, round(sim, 6) AS sim FROM r WHERE rk <= 5"
         ),
         "emb_neardup_pairs": (
             "WITH a AS (SELECT vec_id AS a, embedding AS qv FROM embeddings), "
