@@ -1488,6 +1488,50 @@ def q_emb_knn_quantized(spark, sf_dir):
     )
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-3 most-similar vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss. Runs on the int8
+    quantized scan (exact BIGINT dots ⇒ bit-stable ranking), keeping
+    k wide enough (25) that 3 cross-label survivors always exist before
+    the label filter; the oracle applies the identical widen-then-filter
+    and is exact."""
+    from trianglecount_spark.operators.knn import cosine_topk_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    wide = cosine_topk_quantized(qs, emb, k=25)
+    lab = emb.select("vec_id", "label")
+    labeled = (
+        wide.join(lab.select(F.col("vec_id").alias("q"), F.col("label").alias("ql")), "q")
+        .join(lab.select(F.col("vec_id").alias("nbr"), F.col("label").alias("nl")), "nbr")
+        .where(F.col("ql") != F.col("nl"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sim").desc(), F.col("nbr").asc())
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("q", "nbr", "dot", F.round("sim", 6).alias("sim"))
+    )
+
+
+def q_emb_balanced_sample(spark, sf_dir):
+    """Class-balanced subset selection: exactly 20 vectors per label,
+    chosen by deterministic md5 rank within each label partition — the
+    rebalancing pass a training mixture applies to skewed label
+    distributions. Partitioned window (never global); md5 ranking makes
+    the subset reproducible on any engine and partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat_ws(":", F.lit("bal"), F.col("vec_id"))), "vec_id"
+    )
+    return (
+        emb.select("vec_id", "label")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+    )
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     """Exact cosine near-dup pairs via BLOCKED all-pairs matmul: B·(B+1)/2
     block-pair tasks, one numpy matmul each — no row-level cross join, no
@@ -2049,6 +2093,28 @@ o AS (
 """
 
 
+# shared quantized-scan oracle prefix (emb_knn_quantized,
+# emb_hard_negatives): int8 quantization, exact BIGINT dots, 3-IEEE-op
+# similarity, dense rank per query — mirrors operators/knn.py
+# quantize_int8_vectors + cosine_topk_quantized bit-for-bit.
+_QKNN = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / greatest("
+    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
+    "1e-300))) AS INT)) AS qvec FROM embeddings), "
+    "n AS (SELECT vec_id, qvec, CAST(list_sum(list_transform(qvec, "
+    "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qn2 FROM e), "
+    "s AS (SELECT a.vec_id AS q, b.vec_id AS nbr, "
+    "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
+    "p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot, "
+    "a.qn2 AS qa2, b.qn2 AS cb2 FROM n a, n b "
+    "WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id), "
+    "r AS (SELECT q, nbr, dot, dot / (sqrt(qa2) * sqrt(cb2)) AS sim, "
+    "row_number() OVER (PARTITION BY q ORDER BY "
+    "dot / (sqrt(qa2) * sqrt(cb2)) DESC, nbr ASC) AS rk FROM s)"
+)
+
+
 def _redirects_sql(k: int = 4) -> str:
     """Oracle for web_redirects: the deterministic redirect map (doc_id
     ≡ 0 mod 5 sources, min outbound Location) composed with itself k
@@ -2232,6 +2298,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_knn": q_emb_knn,
         "emb_knn_quantized": q_emb_knn_quantized,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_balanced_sample": q_emb_balanced_sample,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "web_text_extraction": q_web_text_extraction,
         "web_edges_mined": q_web_edges_mined,
@@ -3607,22 +3675,25 @@ o AS (
         # identical int8 quantization (one scale division, one product,
         # one half-away round per element), exact BIGINT dots, and a
         # 3-IEEE-op similarity — bit-stable ranking on both engines
-        "emb_knn_quantized": (
-            "WITH e AS (SELECT vec_id, list_transform(embedding, "
-            "x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / greatest("
-            "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
-            "1e-300))) AS INT)) AS qvec FROM embeddings), "
-            "n AS (SELECT vec_id, qvec, CAST(list_sum(list_transform(qvec, "
-            "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qn2 FROM e), "
-            "s AS (SELECT a.vec_id AS q, b.vec_id AS nbr, "
-            "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
-            "p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot, "
-            "a.qn2 AS qa2, b.qn2 AS cb2 FROM n a, n b "
-            "WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id), "
-            "r AS (SELECT q, nbr, dot, dot / (sqrt(qa2) * sqrt(cb2)) AS sim, "
-            "row_number() OVER (PARTITION BY q ORDER BY "
-            "dot / (sqrt(qa2) * sqrt(cb2)) DESC, nbr ASC) AS rk FROM s) "
-            "SELECT q, nbr, dot, round(sim, 6) AS sim FROM r WHERE rk <= 5"
+        "emb_knn_quantized": _QKNN
+        + " SELECT q, nbr, dot, round(sim, 6) AS sim FROM r WHERE rk <= 5",
+        # widen to top-25 on the same bit-stable quantized scan, then
+        # keep the 3 best cross-label survivors — exactly as the engine
+        "emb_hard_negatives": _QKNN + (
+            ", wide AS (SELECT q, nbr, dot, sim FROM r WHERE rk <= 25), "
+            "lab AS (SELECT vec_id, label FROM embeddings), "
+            "f AS (SELECT w.q, w.nbr, w.dot, w.sim FROM wide w "
+            "JOIN lab a ON a.vec_id = w.q JOIN lab b ON b.vec_id = w.nbr "
+            "WHERE a.label <> b.label), "
+            "r2 AS (SELECT q, nbr, dot, sim, row_number() OVER "
+            "(PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk FROM f) "
+            "SELECT q, nbr, dot, round(sim, 6) AS sim FROM r2 WHERE rk <= 3"
+        ),
+        "emb_balanced_sample": (
+            "WITH r AS (SELECT vec_id, label, CAST(row_number() OVER "
+            "(PARTITION BY label ORDER BY md5('bal:' || vec_id), vec_id) "
+            "AS BIGINT) AS rk FROM embeddings) "
+            "SELECT vec_id, label, rk FROM r WHERE rk <= 20"
         ),
         "emb_neardup_pairs": (
             "WITH a AS (SELECT vec_id AS a, embedding AS qv FROM embeddings), "
