@@ -30,3 +30,14 @@ def test_one_query_runs(spark):
     qs = entrymod.queries()
     df = qs["degree_histogram"](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
+
+
+def test_cli_list_oracle_and_unknown(capsys):
+    from trianglecount_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "triangle_total" in names and len(names) >= 100
+    assert main(["oracle", "triangle_total"]) == 0
+    assert "SELECT" in capsys.readouterr().out
+    assert main(["run", "definitely_not_a_query"]) == 2
