@@ -138,3 +138,51 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_dedup_scan_prunes_and_no_global_window(spark):
+    from trianglecount_spark.plans.queries import q_docs_window_dedup
+
+    plan = _plan(q_docs_window_dedup(spark, SF))
+    # documents scan reads only doc_id + text, never lang/source/n_chars
+    scans = [s for s in plan.split("\n\n") if "Scan parquet" in s and "documents" in s]
+    assert scans, plan
+    for seg in scans:
+        rs = [l for l in seg.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in rs and "text" in rs
+        assert "n_chars" not in rs and "source" not in rs
+    # the self-join is hash-keyed, never a cartesian expansion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fetch_slots_window_is_host_partitioned(spark):
+    from trianglecount_spark.plans.queries import q_web_fetch_slots
+
+    plan = _plan(q_web_fetch_slots(spark, SF))
+    # the row_number window must carry a partition spec (per-host), i.e.
+    # never an empty-partition global window that serializes to one task
+    arg = [l for l in plan.splitlines() if "Arguments" in l and "row_number" in l]
+    assert arg, plan
+    # windowspecdefinition(host#N, ...) — partitioned by host, not empty
+    assert "windowspecdefinition(host#" in arg[0], arg[0]
+
+
+def test_mis_round_uses_semi_and_anti_joins(spark):
+    from trianglecount_spark.operators.mis import maximal_independent_set
+
+    pairs = [(i, i + 1) for i in range(30)]
+    sym = _sym_local(spark, pairs)
+    df = maximal_independent_set(sym, max_iter=2)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _sym_local(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
