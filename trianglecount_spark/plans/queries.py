@@ -1929,6 +1929,44 @@ def q_web_redirects(spark, sf_dir):
     return resolve_redirects(rmap, doublings=4)
 
 
+def q_web_crawl_delta(spark, sf_dir):
+    """Incremental recrawl delta: two deterministic crawl snapshots of
+    the same site (A misses ids ≡9 mod 10, B misses ids ≡0 mod 10, and
+    B sees ids ≡0 mod 7 with changed content) compared by content
+    fingerprint — one full-outer join on url classifying every page as
+    added / removed / changed, the incremental-indexing primitive that
+    keeps a 10¹²-page index fresh without reprocessing the unchanged
+    mass. Both the snapshot membership and the change marker derive
+    from the url-embedded id, so the oracle rebuilds identical
+    snapshots."""
+    pages = web_pages_from_documents(spark, sf_dir)
+    doc_id = (
+        F.regexp_extract("url", r"/d(\d+)$", 1).cast("long") * 10
+        + F.regexp_extract("url", r"^https://s(\d+)\.", 1).cast("long")
+    )
+    p = pages.select("url", "html", doc_id.alias("doc_id"))
+    a = p.where(F.col("doc_id") % 10 != 9).select(
+        "url", F.md5("html").alias("fpa")
+    )
+    marker = F.when(F.col("doc_id") % 7 == 0, F.lit(":v2")).otherwise(F.lit(""))
+    b = p.where(F.col("doc_id") % 10 != 0).select(
+        "url",
+        F.md5(F.concat(F.col("html"), F.encode(marker, "utf-8"))).alias("fpb"),
+    )
+    j = a.join(b, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("fpb").isNull(), F.lit("removed"))
+        .when(F.col("fpa").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "fpa",
+        "fpb",
+    ).where(
+        F.col("fpa").isNull() | F.col("fpb").isNull() | (F.col("fpa") != F.col("fpb"))
+    ).select("url", "status")
+
+
 def q_web_frontier_bloom(spark, sf_dir):
     """Crawl-frontier membership via a Bloom filter
     (operators/sketches.py): mined link targets probed against the
@@ -2315,6 +2353,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_redirects": q_web_redirects,
         "web_fetch_slots": q_web_fetch_slots,
         "web_frontier_bloom": q_web_frontier_bloom,
+        "web_crawl_delta": q_web_crawl_delta,
         "web_host_graph": q_web_host_graph,
         "web_mirror_pages": q_web_mirror_pages,
         "web_anchor_text": q_web_anchor_text,
@@ -3723,6 +3762,17 @@ o AS (
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "web_pagerank_weighted": _wpr_sql(10),
         "web_redirects": _redirects_sql(4),
+        "web_crawl_delta": _WEB + (
+            ", a AS (SELECT url, md5(html) AS fp FROM pg "
+            "WHERE doc_id % 10 <> 9), "
+            "b AS (SELECT url, md5(html || CASE WHEN doc_id % 7 = 0 "
+            "THEN ':v2' ELSE '' END) AS fp FROM pg WHERE doc_id % 10 <> 0) "
+            "SELECT coalesce(a.url, b.url) AS url, "
+            "CASE WHEN b.url IS NULL THEN 'removed' "
+            "WHEN a.url IS NULL THEN 'added' ELSE 'changed' END AS status "
+            "FROM a FULL OUTER JOIN b ON a.url = b.url "
+            "WHERE a.url IS NULL OR b.url IS NULL OR a.fp <> b.fp"
+        ),
         "web_frontier_bloom": _WEB + (
             ", bits AS (SELECT DISTINCT CAST(CAST('0x' || substring("
             "md5('bloom:' || j || ':' || url), 1, 15) AS UBIGINT) AS BIGINT) "
