@@ -124,3 +124,46 @@ def test_streamed_dedup_keys_matches_batch_distinct(spark):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from trianglecount_spark.streaming.edges_stream import stream_attribution_pairs
+
+    # 3 separate files + maxFilesPerTrigger=1 => 3 micro-batches; clicks
+    # and purchases split ACROSS batches so the join state genuinely
+    # carries between triggers
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batches = [
+        [ev(1, 0, 1, "click"), ev(2, 100, 2, "click")],
+        [ev(3, 10, 1, "purchase"), ev(4, 95, 2, "view")],
+        [ev(5, 120, 2, "purchase"), ev(6, 125, 1, "click"), ev(7, 130, 1, "purchase")],
+    ]
+    import pandas as pd
+
+    for i, rows in enumerate(batches):
+        # plain single-file parquet (pathGlobFilter matches LEAF names,
+        # so a Spark-written directory would never match ev*.parquet)
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        # micros, not nanos — Spark's parquet reader wants TIMESTAMP(MICROS)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(str(tmp_path / f"ev{i}.parquet"), index=False)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in stream_attribution_pairs(
+            spark, str(tmp_path), glob="ev*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    # expected: click 1 -> purchase 3 (10 min), click 2 -> purchase 5
+    # (20 min), click 6 -> purchase 7 (5 min); click 1 NOT -> purchase 7
+    # (130 min > 30 min lookback)
+    assert got == {(1, 1, 3), (2, 2, 5), (1, 6, 7)}

@@ -1110,6 +1110,17 @@ def q_events_stream_sessions(spark, sf_dir):
     return session_event_counts(spark, sf_dir)
 
 
+def q_events_stream_attribution(spark, sf_dir):
+    """Stream-STREAM interval join (streaming/edges_stream.py
+    ``stream_attribution_pairs``): purchases joined to the same user's
+    clicks within the preceding 30 min, watermarks on both sides. With
+    watermark ≥ lookback the inner join is complete, so the drained
+    output equals the batch interval join — the oracle. [EXT]."""
+    from trianglecount_spark.streaming.edges_stream import stream_attribution_pairs
+
+    return stream_attribution_pairs(spark, sf_dir)
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming ingest-dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) with watermark-bounded state, availableNow-
@@ -2281,6 +2292,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
         "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_attribution": q_events_stream_attribution,
         "clustering_coeff": q_clustering_coeff,
         "kcore_suppliers": q_kcore_suppliers,
         "edge_support": q_edge_support,
@@ -3283,6 +3295,13 @@ o AS (
             "AS to_type FROM events) "
             "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
             "FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_stream_attribution": (
+            "SELECT c.user_id, c.event_id AS click_id, "
+            "p.event_id AS purchase_id "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE"
         ),
         "events_stream_windows": (
             # streaming append-mode emission = windows fully closed by the

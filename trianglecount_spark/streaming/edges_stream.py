@@ -207,3 +207,67 @@ def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+ATTRIB_PAIRS_SCHEMA = "user_id long, click_id long, purchase_id long"
+
+
+def stream_attribution_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """[EXT] Stream-STREAM interval join: each purchase joined to the
+    same user's clicks in the preceding ``lookback`` — the real-time
+    attribution shape. Two file-source streams over the same events
+    table, event-time watermarks on BOTH sides plus the range condition
+    — exactly what Spark requires to bound join state; with watermark
+    delay ≥ the lookback the inner join is provably COMPLETE (no pair
+    missed however micro-batches split), so the drained output equals
+    the closed-form batch interval join and is exactly oracle-checkable.
+    Emits (user_id, click_id, purchase_id): id-keyed rows, hash-exact.
+    """
+    import tempfile
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"cu = pu AND cts <= pts AND cts >= pts - INTERVAL {lookback}"
+        ),
+        "inner",
+    ).select(F.col("cu").alias("user_id"), "click_id", "purchase_id")
+    out = tempfile.mkdtemp(prefix="tc_stream_attr_out_")
+    ckpt = tempfile.mkdtemp(prefix="tc_stream_attr_ckpt_")
+    run_available_now(joined, out, ckpt)
+    return spark.read.schema(ATTRIB_PAIRS_SCHEMA).parquet(out)
