@@ -260,3 +260,25 @@ def test_pagerank_weighted_matches_numpy(spark):
         rt = 0.85 * (m @ r)
         r = rt + (1.0 - rt.sum()) / len(verts)
     assert np.allclose([got[v] for v in verts], r, atol=1e-12)
+
+
+def test_label_spreading_two_clusters(spark):
+    from pyspark.sql import functions as F
+    from trianglecount_spark.operators.lpa import label_spreading
+
+    # two 5-cliques joined by one bridge edge; one seed in each clique
+    left = [(a, b) for a in range(5) for b in range(5) if a < b]
+    right = [(a + 10, b + 10) for a, b in left]
+    edges = spark.createDataFrame(
+        left + right + [(4, 10)], "src long, dst long"
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = spark.createDataFrame([(0, 7), (13, 9)], "v long, label int")
+    out = {r.v: r.label for r in label_spreading(sym, seeds, rounds=3).collect()}
+    # seeds clamped
+    assert out[0] == 7 and out[13] == 9
+    # cliques adopt their seed's label
+    assert all(out[v] == 7 for v in range(5))
+    assert all(out[v + 10] == 9 for v in range(5))

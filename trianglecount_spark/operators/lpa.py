@@ -71,3 +71,37 @@ def label_propagation(
         init, step, delta_fn, max_iter=max_iter, tol=0.0,
         check_every=check_every, state_dir=state_dir, resume=resume,
     )
+
+
+def label_spreading(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Semi-supervised label spreading over a SYMMETRIC graph: ``seeds``
+    (``v, label``) stay clamped; every round each vertex with at least
+    one labeled neighbor takes the most frequent neighbor label (ties →
+    smallest label), so labels flood outward ``rounds`` hops from the
+    seed set — the weak-supervision pass that turns a small labeled set
+    plus a kNN graph into corpus-wide labels. Rows: ``v, label`` for
+    every vertex reached by round ``rounds``.
+
+    Per round: one shuffle join (current labels onto edge sources), one
+    (v, label) hash aggregate, one window-free top-1 via max_by — the
+    identical shape as synchronous LPA above, and deterministic for the
+    same reason (synchronous rounds + total tie order)."""
+    labels = seeds.select("v", "label").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr = edges.join(
+            labels.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "label")
+        cnt = nbr.groupBy("v", "label").agg(F.count("*").alias("c"))
+        cand = cnt.groupBy("v").agg(
+            F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                "label"
+            )
+        )
+        labels = (
+            seeds.select("v", "label")
+            .unionByName(cand.join(seeds, "v", "left_anti"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1543,6 +1543,30 @@ def q_emb_balanced_sample(spark, sf_dir):
     )
 
 
+def q_emb_label_spreading(spark, sf_dir):
+    """Semi-supervised label spreading over the kNN graph
+    (operators/lpa.py ``label_spreading``): vectors with vec_id < 100
+    keep their true label, everyone else takes the 3-hop flooded mode
+    of labeled kNN neighbors — small labeled set + similarity graph →
+    corpus-wide weak labels. Graph = symmetrized quantized top-5
+    (bit-stable, so the oracle rebuilds the identical graph and unrolls
+    the same 3 synchronous rounds)."""
+    from trianglecount_spark.operators.knn import cosine_topk_quantized
+    from trianglecount_spark.operators.lpa import label_spreading
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = cosine_topk_quantized(emb, emb, k=5).select("q", "nbr")
+    eg = (
+        topk.select(F.col("q").alias("src"), F.col("nbr").alias("dst"))
+        .unionByName(topk.select(F.col("nbr").alias("src"), F.col("q").alias("dst")))
+        .distinct()
+    )
+    seeds = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("v"), "label"
+    )
+    return label_spreading(eg, seeds, rounds=3)
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     """Exact cosine near-dup pairs via BLOCKED all-pairs matmul: B·(B+1)/2
     block-pair tasks, one numpy matmul each — no row-level cross join, no
@@ -1940,6 +1964,29 @@ def q_web_redirects(spark, sf_dir):
     return resolve_redirects(rmap, doublings=4)
 
 
+def q_web_url_templates(spark, sf_dir):
+    """URL template mining: paths normalized by collapsing digit runs to
+    '#', counted per (host, template) — the crawl-side structure pass
+    that finds paginated/parameterized families (e.g. /d# covering
+    every /d123) so schedulers can cap per-template budgets. One
+    regexp projection + one hash agg; link targets included so
+    templates cover the frontier, not just fetched pages."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    mined = extract_links(web_pages_from_documents(spark, sf_dir))
+    urls = mined.select(F.col("src_url").alias("url")).unionByName(
+        mined.select(F.col("dst_url").alias("url"))
+    )
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1)
+    tmpl = F.regexp_replace(path, r"\d+", "#")
+    return (
+        urls.select(host.alias("host"), tmpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
 def q_web_crawl_delta(spark, sf_dir):
     """Incremental recrawl delta: two deterministic crawl snapshots of
     the same site (A misses ids ≡9 mod 10, B misses ids ≡0 mod 10, and
@@ -2142,26 +2189,56 @@ o AS (
 """
 
 
-# shared quantized-scan oracle prefix (emb_knn_quantized,
-# emb_hard_negatives): int8 quantization, exact BIGINT dots, 3-IEEE-op
-# similarity, dense rank per query — mirrors operators/knn.py
-# quantize_int8_vectors + cosine_topk_quantized bit-for-bit.
-_QKNN = (
-    "WITH e AS (SELECT vec_id, list_transform(embedding, "
-    "x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / greatest("
-    "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
-    "1e-300))) AS INT)) AS qvec FROM embeddings), "
-    "n AS (SELECT vec_id, qvec, CAST(list_sum(list_transform(qvec, "
-    "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qn2 FROM e), "
-    "s AS (SELECT a.vec_id AS q, b.vec_id AS nbr, "
-    "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
-    "p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot, "
-    "a.qn2 AS qa2, b.qn2 AS cb2 FROM n a, n b "
-    "WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id), "
-    "r AS (SELECT q, nbr, dot, dot / (sqrt(qa2) * sqrt(cb2)) AS sim, "
-    "row_number() OVER (PARTITION BY q ORDER BY "
-    "dot / (sqrt(qa2) * sqrt(cb2)) DESC, nbr ASC) AS rk FROM s)"
-)
+def _qknn_sql(qfilter: str = "a.vec_id < 20") -> str:
+    """Shared quantized-scan oracle prefix (emb_knn_quantized,
+    emb_hard_negatives, emb_label_spreading): int8 quantization, exact
+    BIGINT dots, 3-IEEE-op similarity, dense rank per query — mirrors
+    operators/knn.py quantize_int8_vectors + cosine_topk_quantized
+    bit-for-bit. ``qfilter`` restricts the probe side."""
+    return (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / greatest("
+        "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
+        "1e-300))) AS INT)) AS qvec FROM embeddings), "
+        "n AS (SELECT vec_id, qvec, CAST(list_sum(list_transform(qvec, "
+        "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qn2 FROM e), "
+        "s AS (SELECT a.vec_id AS q, b.vec_id AS nbr, "
+        "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
+        "p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot, "
+        "a.qn2 AS qa2, b.qn2 AS cb2 FROM n a, n b "
+        f"WHERE {qfilter} AND a.vec_id <> b.vec_id), "
+        "r AS (SELECT q, nbr, dot, dot / (sqrt(qa2) * sqrt(cb2)) AS sim, "
+        "row_number() OVER (PARTITION BY q ORDER BY "
+        "dot / (sqrt(qa2) * sqrt(cb2)) DESC, nbr ASC) AS rk FROM s)"
+    )
+
+
+_QKNN = _qknn_sql()
+
+
+def _label_spreading_sql(rounds: int = 3) -> str:
+    """Oracle for emb_label_spreading: the full quantized top-5 graph
+    (probe filter TRUE), symmetrized, then ``rounds`` synchronous
+    clamped-mode rounds unrolled."""
+    sql = _qknn_sql("TRUE") + (
+        ", eg AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT q AS src, nbr AS dst FROM r WHERE rk <= 5 "
+        "UNION ALL SELECT nbr AS src, q AS dst FROM r WHERE rk <= 5)), "
+        "l0 AS (SELECT vec_id AS v, label FROM embeddings WHERE vec_id < 100)"
+    )
+    for i in range(1, rounds + 1):
+        sql += (
+            f", nb{i} AS (SELECT e.dst AS v, l.label FROM eg e "
+            f"JOIN l{i - 1} l ON l.v = e.src)"
+            f", cn{i} AS (SELECT v, label, count(*) AS c FROM nb{i} GROUP BY 1, 2)"
+            f", cd{i} AS (SELECT v, label FROM ("
+            f"SELECT v, label, row_number() OVER (PARTITION BY v "
+            f"ORDER BY c DESC, label ASC) AS rk2 FROM cn{i}) WHERE rk2 = 1)"
+            f", l{i} AS MATERIALIZED (SELECT v, label FROM l0 "
+            f"UNION ALL SELECT c.v, c.label FROM cd{i} c "
+            f"WHERE c.v NOT IN (SELECT v FROM l0))"
+        )
+    return sql + f" SELECT v, label FROM l{rounds}"
 
 
 def _redirects_sql(k: int = 4) -> str:
@@ -2349,6 +2426,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": q_emb_knn,
         "emb_knn_quantized": q_emb_knn_quantized,
         "emb_hard_negatives": q_emb_hard_negatives,
+        "emb_label_spreading": q_emb_label_spreading,
         "emb_balanced_sample": q_emb_balanced_sample,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "web_text_extraction": q_web_text_extraction,
@@ -2366,6 +2444,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_fetch_slots": q_web_fetch_slots,
         "web_frontier_bloom": q_web_frontier_bloom,
         "web_crawl_delta": q_web_crawl_delta,
+        "web_url_templates": q_web_url_templates,
         "web_host_graph": q_web_host_graph,
         "web_mirror_pages": q_web_mirror_pages,
         "web_anchor_text": q_web_anchor_text,
@@ -3747,6 +3826,7 @@ o AS (
             "(PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk FROM f) "
             "SELECT q, nbr, dot, round(sim, 6) AS sim FROM r2 WHERE rk <= 3"
         ),
+        "emb_label_spreading": _label_spreading_sql(3),
         "emb_balanced_sample": (
             "WITH r AS (SELECT vec_id, label, CAST(row_number() OVER "
             "(PARTITION BY label ORDER BY md5('bal:' || vec_id), vec_id) "
@@ -3781,6 +3861,14 @@ o AS (
         "web_pagerank": _pagerank_sql(10, prefix=_WEB_VID),
         "web_pagerank_weighted": _wpr_sql(10),
         "web_redirects": _redirects_sql(4),
+        "web_url_templates": _WEB + (
+            ", u AS (SELECT src_url AS url FROM mined "
+            "UNION ALL SELECT dst_url AS url FROM mined) "
+            "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            "regexp_replace(regexp_extract(url, '^https?://[^/]+(/.*)?$', 1), "
+            "'\\d+', '#', 'g') AS template, "
+            "CAST(count(*) AS BIGINT) AS n_urls FROM u GROUP BY 1, 2"
+        ),
         "web_crawl_delta": _WEB + (
             ", a AS (SELECT url, md5(html) AS fp FROM pg "
             "WHERE doc_id % 10 <> 9), "
