@@ -1275,6 +1275,41 @@ def q_docs_pack_plan(spark, sf_dir):
     )
 
 
+def q_docs_decontamination(spark, sf_dir):
+    """Benchmark decontamination scan: every training doc scored by the
+    fraction of its 8-token windows that appear in the benchmark set
+    (here: docs with id ≡ 0 mod 50 stand in for a held-out eval suite) —
+    the pass that keeps eval answers out of pretraining data. The
+    benchmark window set is tiny however large the corpus, so the probe
+    is a broadcast semi-join against it; per-doc window counts are one
+    partial-agg shuffle. Exact integers + one rounded division."""
+    from trianglecount_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    wins = shingles(docs, n=8).select(
+        "doc_id", F.md5(F.col("s").cast("binary")).alias("wh")
+    )
+    bench = wins.where(F.col("doc_id") % 50 == 0).select("wh").distinct()
+    train = wins.where(F.col("doc_id") % 50 != 0)
+    n_win = train.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    n_hit = (
+        train.join(bench, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        n_win.join(n_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "frac", F.round(F.col("n_contaminated") / F.col("n_windows"), 6)
+        )
+    )
+
+
 def q_docs_token_cms(spark, sf_dir):
     """Count-min-sketch token frequencies (operators/sketches.py):
     build the depth×width counter table in one partial-agg pass, then
@@ -2414,6 +2449,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_window_dedup": q_docs_window_dedup,
         "docs_token_cms": q_docs_token_cms,
         "docs_pack_plan": q_docs_pack_plan,
+        "docs_decontamination": q_docs_decontamination,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
         "docs_dedup_clusters": q_docs_dedup_clusters,
@@ -3661,6 +3697,24 @@ o AS (
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
             "JOIN sizes sb ON sb.doc_id = inter.b "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        # identical 8-token windows; benchmark = ids ≡ 0 mod 50
+        "docs_decontamination": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 8), "
+            "wins AS (SELECT DISTINCT doc_id, md5(s) AS wh FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), "
+            "i -> array_to_string(t[i:i+7], ' '))) AS s FROM w)), "
+            "bench AS (SELECT DISTINCT wh FROM wins WHERE doc_id % 50 = 0), "
+            "train AS (SELECT * FROM wins WHERE doc_id % 50 <> 0), "
+            "nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows "
+            "FROM train GROUP BY 1), "
+            "nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated "
+            "FROM train WHERE wh IN (SELECT wh FROM bench) GROUP BY 1) "
+            "SELECT nw.doc_id, n_windows, "
+            "coalesce(n_contaminated, 0) AS n_contaminated, "
+            "round(coalesce(n_contaminated, 0) * 1.0 / n_windows, 6) AS frac "
+            "FROM nw LEFT JOIN nh ON nh.doc_id = nw.doc_id"
         ),
         "docs_pack_plan": (
             "WITH d AS (SELECT doc_id, source, "
