@@ -256,3 +256,21 @@ def test_quantized_knn_matches_exact_ranking(spark):
     quant = {(r.q, r.nbr) for r in cosine_topk_quantized(qs, df, k=5).collect()}
     # int8 on gaussian vectors preserves nearly all of the top-5 set
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    from trianglecount_spark.operators.dedup import content_defined_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(0, base), (1, "INSERTED PREFIX >>> " + base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_defined_chunks(docs).collect()
+    a = [r.chunk for r in out if r.doc_id == 0]
+    b = [r.chunk for r in out if r.doc_id == 1]
+    # chunks reassemble the full text in order
+    assert "".join(a) == base and "".join(b) == rows[1][1]
+    # content-defined boundaries re-align after the insertion: the bulk
+    # of doc 0's chunks reappear verbatim in doc 1 (byte-offset blocking
+    # would shift every block)
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 2, (len(shared), len(a))

@@ -264,3 +264,32 @@ def simhash_neardup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS style): ``<id_col>, chunk``
+    — a chunk boundary falls after position i wherever the hash of the
+    4-char gram ending at i has a fixed low nibble (1/16 probability ⇒
+    ~16-char expected chunks). Because boundaries depend only on LOCAL
+    content, an insertion early in a doc shifts at most one chunk —
+    every later chunk re-aligns and dedups against the store, which
+    byte-offset (fixed-size) blocking cannot do. Entirely JVM-side
+    higher-order functions over the string; requires texts ≥ 4 chars
+    (the documents table's min length is 48)."""
+    bounds = (
+        f"concat(array(0), "
+        f"filter(sequence(4, length({text_col})), "
+        f"i -> substring(md5(substring({text_col}, i - 3, 4)), 32, 1) = '0'), "
+        f"array(length({text_col})))"
+    )
+    chunks = (
+        f"filter(transform(sequence(1, size(b) - 1), "
+        f"j -> substring({text_col}, element_at(b, j) + 1, "
+        f"element_at(b, j + 1) - element_at(b, j))), c -> c <> '')"
+    )
+    return (
+        docs.select(id_col, text_col, F.expr(bounds).alias("b"))
+        .select(id_col, F.explode(F.expr(chunks)).alias("chunk"))
+    )

@@ -1275,6 +1275,24 @@ def q_docs_pack_plan(spark, sf_dir):
     )
 
 
+def q_docs_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunking dedup table (operators/dedup.py
+    ``content_defined_chunks``): the corpus as variable-size
+    content-addressed blocks — ``chunk_hash, n_chunks, n_docs`` —
+    where shared storage is every row with n_chunks > 1. Boundaries
+    are local-content hashes, so edits re-align instead of shifting
+    every later block (the rsync/LBFS property byte-offset blocking
+    lacks). One explode + one hash agg; the oracle replays the
+    identical boundary rule."""
+    from trianglecount_spark.operators.dedup import content_defined_chunks
+
+    ch = content_defined_chunks(_t(spark, sf_dir, "documents"))
+    return ch.groupBy(F.md5("chunk").alias("chunk_hash")).agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def q_docs_decontamination(spark, sf_dir):
     """Benchmark decontamination scan: every training doc scored by the
     fraction of its 8-token windows that appear in the benchmark set
@@ -2450,6 +2468,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_cms": q_docs_token_cms,
         "docs_pack_plan": q_docs_pack_plan,
         "docs_decontamination": q_docs_decontamination,
+        "docs_cdc_chunks": q_docs_cdc_chunks,
         "docs_minhash_candidates": q_docs_minhash_candidates,
         "docs_minhash_est": q_docs_minhash_est,
         "docs_dedup_clusters": q_docs_dedup_clusters,
@@ -3697,6 +3716,22 @@ o AS (
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
             "JOIN sizes sb ON sb.doc_id = inter.b "
             "WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5"
+        ),
+        # identical boundary rule: low nibble of md5 of the 4-char gram
+        "docs_cdc_chunks": (
+            "WITH d AS (SELECT doc_id, text AS t FROM documents), "
+            "ch AS (SELECT doc_id, t, list_concat(list_concat([0], "
+            "list_filter(range(4, length(t) + 1), "
+            "i -> substring(md5(substring(t, CAST(i - 3 AS INT), 4)), 32, 1) "
+            "= '0')), [length(t)]) AS bounds FROM d), "
+            "chunks AS (SELECT doc_id, unnest(list_filter("
+            "list_transform(range(1, len(bounds)), "
+            "j -> substring(t, CAST(bounds[CAST(j AS INT)] + 1 AS INT), "
+            "CAST(bounds[CAST(j AS INT) + 1] - bounds[CAST(j AS INT)] AS INT))), "
+            "c -> c <> '')) AS chunk FROM ch) "
+            "SELECT md5(chunk) AS chunk_hash, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM chunks GROUP BY 1"
         ),
         # identical 8-token windows; benchmark = ids ≡ 0 mod 50
         "docs_decontamination": (
