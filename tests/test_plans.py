@@ -186,3 +186,17 @@ def _sym_local(spark, pairs):
     return e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+
+
+def test_q5_star_join_broadcasts_dimensions(spark):
+    from trianglecount_spark.plans.queries import q_region_nation_volume
+
+    plan = _plan(q_region_nation_volume(spark, SF))
+    # nation/region dimension chain broadcasts; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the top-N sibling uses TakeOrderedAndProject, never a global Sort
+    from trianglecount_spark.plans.queries import q_orders_revenue_topn
+
+    plan3 = _plan(q_orders_revenue_topn(spark, SF))
+    assert "TakeOrderedAndProject" in plan3

@@ -1041,6 +1041,64 @@ def q_lineitem_agg(spark, sf_dir):
     )
 
 
+def q_orders_revenue_topn(spark, sf_dir):
+    """TPC-H Q3 shape — shipping-priority top-10: a selective dimension
+    filter (mktsegment) broadcast into a 3-table join, revenue summed
+    per order, global top-10. Revenue is EXACT integer cents
+    (floor(p·(1−d)·100 + 0.5) per row — fixed-order IEEE ops, then a
+    BIGINT sum), so the aggregate is order-independent and hash-exact.
+    The top-10 is TakeOrderedAndProject — a per-partition heap + tiny
+    merge, never a global sort. Ties broken by orderkey."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_nation_volume(spark, sf_dir):
+    """TPC-H Q5 shape — local-supplier volume: six-table star join
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    the same-nation constraint between customer and supplier, revenue
+    per nation in exact integer cents. The dimension chain
+    (region→nation) broadcasts; the fact joins shuffle on their keys —
+    the canonical Catalyst join-reorder showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2416,6 +2474,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_nation": q_components_nation,
         "lpa_nation": q_lpa_nation,
         "lineitem_agg": q_lineitem_agg,
+        "orders_revenue_topn": q_orders_revenue_topn,
+        "region_nation_volume": q_region_nation_volume,
         "events_sessions": q_events_sessions,
         "events_transitions": q_events_transitions,
         "events_stream_incremental": q_events_stream_incremental,
@@ -3422,6 +3482,30 @@ o AS (
             "SELECT user_id, 1 + CAST(sum(CASE WHEN pts IS NULL THEN 0 "
             "WHEN epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_sessions FROM x GROUP BY user_id"
+        ),
+        "orders_revenue_topn": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "region_nation_volume": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey AND r_name = 'ASIA' "
+            "GROUP BY 1"
         ),
         "events_transitions": (
             "WITH x AS (SELECT event_type AS from_type, "
