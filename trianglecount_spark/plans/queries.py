@@ -365,6 +365,21 @@ def q_lineitem_rollup(spark, sf_dir):
     )
 
 
+def q_lineitem_cube(spark, sf_dir):
+    """CUBE aggregation — the full 2^k grouping-set lattice in one pass
+    (ROLLUP's sibling; SURVEY §2.5 relational breadth): subtotals for
+    every subset of (flag, status), including status-only marginals
+    ROLLUP omits."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def q_ppr_copurchase(spark, sf_dir):
     """Personalized PageRank: 10 fixed rounds with the teleport
     distribution uniform over the seed set {v : v % 50 == 0} — the
@@ -2510,6 +2525,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cooccurrence": q_docs_cooccurrence,
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
+        "lineitem_cube": q_lineitem_cube,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_tfidf_top": q_docs_tfidf_top,
         "events_user_hll": q_events_user_hll,
@@ -3728,6 +3744,11 @@ o AS (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "lineitem_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
         ),
         "events_stream_dedup": (
             "SELECT DISTINCT user_id, event_type FROM events"
