@@ -48,3 +48,28 @@ def test_random_graph_all_strategies_agree(spark, seed, n, p):
         }
         assert pv == pv_ref, (k, thr)
     assert sum(pv_ref.values()) == want
+
+
+@pytest.mark.parametrize("seed,n,p", [(11, 30, 0.15), (12, 40, 0.1)])
+def test_random_graph_primitive_invariants(spark, seed, n, p):
+    """MIS / matching / coloring invariants on seeded random graphs."""
+    from trianglecount_spark.operators.matching import maximal_matching
+    from trianglecount_spark.operators.mis import luby_coloring, maximal_independent_set
+
+    pairs = er_graph(n, p, seed)
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    sym = canonicalize_edges(e).cache()
+    edges = {(r.src, r.dst) for r in sym.collect()}
+    verts = {v for ed in edges for v in ed}
+
+    mis = {r.v for r in maximal_independent_set(sym, max_iter=12).collect()}
+    assert not any((a, b) in edges for a in mis for b in mis)
+    assert all(any((v, m) in edges for m in mis) for v in verts - mis)
+
+    m = [(r.src, r.dst) for r in maximal_matching(sym, max_iter=12).collect()]
+    used = [v for ed in m for v in ed]
+    assert len(used) == len(set(used))
+    assert all(a in set(used) or b in set(used) for a, b in edges)
+
+    colors = {r.v: r.color for r in luby_coloring(sym, n_colors=10, mis_rounds=8).collect()}
+    assert not any(colors.get(a) == colors.get(b) for a, b in edges if a in colors and b in colors)
