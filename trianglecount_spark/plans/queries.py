@@ -1676,7 +1676,11 @@ def q_emb_label_spreading(spark, sf_dir):
     of labeled kNN neighbors — small labeled set + similarity graph →
     corpus-wide weak labels. Graph = symmetrized quantized top-5
     (bit-stable, so the oracle rebuilds the identical graph and unrolls
-    the same 3 synchronous rounds)."""
+    the same 3 synchronous rounds). Scale note: the all-vectors probe
+    scan here is the oracle-exact baseline; at corpus scale the kNN
+    graph construction routes through the LSH bucket join
+    (operators/knn.py ``cosine_topk_lsh``) — the spreading rounds
+    themselves are corpus-size-agnostic joins either way."""
     from trianglecount_spark.operators.knn import cosine_topk_quantized
     from trianglecount_spark.operators.lpa import label_spreading
 
