@@ -359,3 +359,12 @@ def test_coarsen_by_matching(spark):
     assert len(verts) <= len(orig_verts) - m
     # no self loops, canonical orientation
     assert all(r.src < r.dst for r in rows)
+
+
+def test_shortest_path_counts_golden(spark):
+    from trianglecount_spark.operators.metrics import shortest_path_counts
+
+    # diamond: 0-1, 0-2, 1-3, 2-3 — two shortest paths 0→3; plus tail 3-4
+    sym = _sym(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
+    out = {r.v: (r.dist, r.sigma) for r in shortest_path_counts(sym, 0, rounds=4).collect()}
+    assert out == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2), 4: (3, 2)}

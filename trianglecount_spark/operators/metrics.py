@@ -348,3 +348,41 @@ def clique4_count(oriented: DataFrame) -> DataFrame:
         .join(e_vx, ["v", "x"], "left_semi")
         .agg(F.count("*").alias("n_4cliques"))
     )
+
+
+def shortest_path_counts(
+    sym_edges: DataFrame, source: int, rounds: int = 6
+) -> DataFrame:
+    """Shortest-path COUNTING from one source — the exact-integer
+    forward pass of Brandes' betweenness: ``v, dist, sigma`` where
+    sigma = number of distinct shortest s→v paths. Level-synchronous:
+    vertices first reached in round d are at dist d, and their sigma is
+    the sum of the sigmas of their dist-(d−1) predecessors — one
+    frontier join + one sum-agg per round, all BIGINT (path counts on
+    simple graphs stay well under 2^63 for small diameters). Runs a
+    FIXED ``rounds`` budget so a cross-engine oracle unrolls the same
+    levels; vertices beyond the budget are simply absent (a bounded
+    centrality neighborhood, the standard sampled-Brandes regime).
+
+    (The backward delta-accumulation of full betweenness divides
+    sigma values — order-dependent float sums — so this exact pass is
+    the principled oracle-checkable unit; sampled betweenness composes
+    it with a driver-side accumulation in tests if ever needed.)"""
+    spark = sym_edges.sparkSession
+    state = spark.range(1).select(
+        F.lit(source).cast("long").alias("v"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    for d in range(1, rounds + 1):
+        frontier = state.where(F.col("dist") == d - 1)
+        cand = (
+            frontier.join(sym_edges.withColumnRenamed("src", "v"), "v")
+            .select(F.col("dst").alias("v"), F.col("sigma"))
+            .join(state.select(F.col("v")), "v", "left_anti")
+            .groupBy("v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("v", F.lit(d).cast("long").alias("dist"), "sigma")
+        )
+        state = state.unionByName(cand).localCheckpoint(eager=True)
+    return state

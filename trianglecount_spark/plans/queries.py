@@ -938,6 +938,16 @@ def q_coarsen_copurchase(spark, sf_dir):
     return coarsen_by_matching(copurchase_sym(spark, sf_dir), max_iter=8)
 
 
+def q_sp_counts_copurchase(spark, sf_dir):
+    """Shortest-path counting from vertex 0 (operators/metrics.py
+    ``shortest_path_counts``): the exact-integer Brandes forward pass —
+    per reached vertex its BFS level and the number of distinct
+    shortest paths from the source. 4 fixed levels, both engines."""
+    from trianglecount_spark.operators.metrics import shortest_path_counts
+
+    return shortest_path_counts(copurchase_sym(spark, sf_dir), source=0, rounds=4)
+
+
 def q_coloring_copurchase(spark, sf_dir):
     """Luby graph coloring (operators/mis.py ``luby_coloring``): the
     first 4 color classes of the copurchase graph, each class an MIS of
@@ -2488,6 +2498,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_copurchase": q_coloring_copurchase,
         "matching_copurchase": q_matching_copurchase,
         "coarsen_copurchase": q_coarsen_copurchase,
+        "sp_counts_copurchase": q_sp_counts_copurchase,
         "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
@@ -2966,6 +2977,27 @@ def _mis_sql(k: int = 8, salt: str = "mis", prefix: str = _CP) -> str:
     )
 
 
+def _sp_counts_sql(k: int = 4, source: int = 0, prefix: str = _CP) -> str:
+    """Oracle for sp_counts_copurchase: level-synchronous BFS path
+    counting unrolled — per level, new vertices' sigma = sum of their
+    previous-level predecessors' sigmas."""
+    sql = prefix + (
+        f", s0 AS (SELECT CAST({source} AS BIGINT) AS v, "
+        "CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma)"
+    )
+    for d in range(1, k + 1):
+        sql += (
+            f", c{d} AS (SELECT e.dst AS v, CAST({d} AS BIGINT) AS dist, "
+            f"CAST(sum(f.sigma) AS BIGINT) AS sigma "
+            f"FROM s{d - 1} f JOIN und e ON e.src = f.v "
+            f"WHERE f.dist = {d - 1} "
+            f"AND e.dst NOT IN (SELECT v FROM s{d - 1}) GROUP BY 1)"
+            f", s{d} AS MATERIALIZED "
+            f"(SELECT * FROM s{d - 1} UNION ALL SELECT * FROM c{d})"
+        )
+    return sql + f" SELECT v, dist, sigma FROM s{k}"
+
+
 def _matching_sql(
     k: int = 8, salt: str = "match", prefix: str = _CP, tail: str | None = None
 ) -> str:
@@ -3427,6 +3459,7 @@ o AS (
         "mis_copurchase": _mis_sql(8),
         "coloring_copurchase": _coloring_sql(4, 4),
         "matching_copurchase": _matching_sql(8),
+        "sp_counts_copurchase": _sp_counts_sql(4, 0),
         "coarsen_copurchase": _matching_sql(
             8,
             tail=(
