@@ -938,6 +938,40 @@ def q_coarsen_copurchase(spark, sf_dir):
     return coarsen_by_matching(copurchase_sym(spark, sf_dir), max_iter=8)
 
 
+def q_triangle_list_sample(spark, sf_dir):
+    """Triangle ENUMERATION (not just counting): the actual (a, b, c)
+    motif instances, here on the id<200 induced subgraph — the output
+    shape GNN samplers and motif-feature pipelines consume. Same
+    oriented wedge join as the counter, minus the final aggregate;
+    bounding the subgraph bounds the listing volume (at web scale the
+    enumeration is always over a filtered/sampled region — listing all
+    10^12 triangles is never the query)."""
+    o = copurchase_oriented(spark, sf_dir).where(
+        (F.col("src") < 200) & (F.col("dst") < 200)
+    )
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    return (
+        e1.join(e2, F.col("a") == F.col("a2"))
+        .where(F.col("b") < F.col("c"))
+        .join(e3, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")), "left_semi")
+        .select("a", "b", "c")
+    )
+
+
+def q_docs_quality_deciles(spark, sf_dir):
+    """Per-language quality deciles (ntile over a lang-partitioned
+    window, deterministic (n_chars, doc_id) order) — the percentile
+    banding a quality-filtered mixture uses to keep 'the top 30% per
+    language' without a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
 def q_sp_counts_copurchase(spark, sf_dir):
     """Shortest-path counting from vertex 0 (operators/metrics.py
     ``shortest_path_counts``): the exact-integer Brandes forward pass —
@@ -2499,6 +2533,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_copurchase": q_matching_copurchase,
         "coarsen_copurchase": q_coarsen_copurchase,
         "sp_counts_copurchase": q_sp_counts_copurchase,
+        "triangle_list_sample": q_triangle_list_sample,
+        "docs_quality_deciles": q_docs_quality_deciles,
         "modularity_lpa": q_modularity_lpa,
         "pagerank_exact10": q_pagerank_exact10,
         "components_nation": q_components_nation,
@@ -3460,6 +3496,17 @@ o AS (
         "coloring_copurchase": _coloring_sql(4, 4),
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
+        "triangle_list_sample": _CP + (
+            ", f AS (SELECT src, dst FROM o WHERE src < 200 AND dst < 200) "
+            "SELECT x.src AS a, x.dst AS b, y.dst AS c "
+            "FROM f x JOIN f y ON y.src = x.src AND x.dst < y.dst "
+            "JOIN f z ON z.src = x.dst AND z.dst = y.dst"
+        ),
+        "docs_quality_deciles": (
+            "SELECT doc_id, lang, n_chars, "
+            "CAST(ntile(10) OVER (PARTITION BY lang "
+            "ORDER BY n_chars, doc_id) AS BIGINT) AS decile FROM documents"
+        ),
         "coarsen_copurchase": _matching_sql(
             8,
             tail=(
