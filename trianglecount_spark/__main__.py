@@ -9,6 +9,8 @@ with output as JSON lines or a row count.
     python -m trianglecount_spark list
     python -m trianglecount_spark run triangle_total --sf-dir /root/testdata/sf0.01
     python -m trianglecount_spark run degrees --limit 10 --cores 8
+    python -m trianglecount_spark run degrees --out /tmp/degrees.parquet
+    python -m trianglecount_spark explain triangle_total  # formatted plan
     python -m trianglecount_spark oracle triangle_total   # print the DuckDB SQL
 
 Exit code 0 on success; unknown query names list the registry and exit 2.
@@ -27,15 +29,19 @@ def _build_parser() -> argparse.ArgumentParser:
     sub.add_parser("list", help="list registered query names")
     for name, hlp in (
         ("run", "run a registered query and print JSON rows"),
+        ("explain", "print a query's formatted physical plan"),
         ("oracle", "print a query's DuckDB oracle SQL"),
     ):
         s = sub.add_parser(name, help=hlp)
         s.add_argument("query")
-        if name == "run":
+        if name in ("run", "explain"):
             s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+            s.add_argument("--cores", type=int, default=None)
+        if name == "run":
             s.add_argument("--limit", type=int, default=20,
                            help="max rows printed (0 = count only)")
-            s.add_argument("--cores", type=int, default=None)
+            s.add_argument("--out", default=None,
+                           help="write the full result as parquet here instead")
     return p
 
 
@@ -58,8 +64,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     from trianglecount_spark.session import get_spark
 
-    spark = get_spark(app_name=f"tc-run-{args.query}", cores=args.cores)
+    spark = get_spark(app_name=f"tc-{args.cmd}-{args.query}", cores=args.cores)
     df = qs[args.query](spark, args.sf_dir)
+    if args.cmd == "explain":
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return 0
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.query, "out": args.out}))
+        return 0
     if args.limit == 0:
         print(json.dumps({"query": args.query, "rows": df.count()}))
         return 0
