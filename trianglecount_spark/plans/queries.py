@@ -1227,6 +1227,26 @@ def q_events_stream_sessions(spark, sf_dir):
     return session_event_counts(spark, sf_dir)
 
 
+def q_events_props_json(spark, sf_dir):
+    """JSON extraction surface (SURVEY §2.5 noted the reference has no
+    json functions at all): parse the ``props`` JSON column with an
+    explicit schema (``from_json`` — schema-on-read, pushdown-friendly,
+    no per-row Python), then aggregate the extracted field per event
+    type. Exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k").isNull()).alias("n_null"),
+        )
+    )
+
+
 def q_events_stream_attribution(spark, sf_dir):
     """Stream-STREAM interval join (streaming/edges_stream.py
     ``stream_attribution_pairs``): purchases joined to the same user's
@@ -2544,6 +2564,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_volume": q_region_nation_volume,
         "events_sessions": q_events_sessions,
         "events_transitions": q_events_transitions,
+        "events_props_json": q_events_props_json,
         "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
@@ -3613,6 +3634,16 @@ o AS (
             "AS to_type FROM events) "
             "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
             "FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_props_json": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+            "AS sum_k, "
+            "min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+            "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k, "
+            "CAST(count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) "
+            "AS BIGINT) AS n_null "
+            "FROM events GROUP BY 1"
         ),
         "events_stream_attribution": (
             "SELECT c.user_id, c.event_id AS click_id, "
