@@ -368,3 +368,22 @@ def test_shortest_path_counts_golden(spark):
     sym = _sym(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
     out = {r.v: (r.dist, r.sigma) for r in shortest_path_counts(sym, 0, rounds=4).collect()}
     assert out == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2), 4: (3, 2)}
+
+
+def test_heavy_edge_matching_prefers_weight(spark):
+    from trianglecount_spark.operators.matching import maximal_matching
+
+    # path a-b-c with weight(b,c) >> weight(a,b): heavy edge must win
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 100)], "src long, dst long, weight long"
+    )
+    m = [(r.src, r.dst) for r in
+         maximal_matching(e, max_iter=4, weight_col="weight").collect()]
+    assert m == [(2, 3)]
+    # star with one heavy spoke: that spoke is the match
+    star = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 50), (0, 3, 7)], "src long, dst long, weight long"
+    )
+    ms = [(r.src, r.dst) for r in
+          maximal_matching(star, max_iter=4, weight_col="weight").collect()]
+    assert ms == [(0, 2)]

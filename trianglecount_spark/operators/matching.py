@@ -30,17 +30,27 @@ from pyspark.sql import functions as F
 
 
 def maximal_matching(
-    edges: DataFrame, max_iter: int = 8, salt: str = "match"
+    edges: DataFrame,
+    max_iter: int = 8,
+    salt: str = "match",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Maximal matching over a SYMMETRIC simple edge table (src, dst) —
     rows ``(src, dst, round)`` with src < dst, vertex-disjoint, and
     maximal (every unmatched edge shares an endpoint with a matched
     one once the remaining set empties). Runs at most ``max_iter``
     rounds, early-stopping on an empty remainder; an exact cross-engine
-    oracle unrolls the SAME rounds (exhausted budgets are no-ops)."""
+    oracle unrolls the SAME rounds (exhausted budgets are no-ops).
+
+    ``weight_col`` switches to HEAVY-EDGE matching (the Metis/Graclus
+    coarsening heuristic): the locally-minimal priority becomes
+    (max weight, then hash) by prefixing the md5 with the zero-padded
+    complement of the weight — string order both engines share, so the
+    weighted variant stays exactly oracle-checkable."""
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     rem = (
         edges.where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        .select(*cols)
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -57,6 +67,16 @@ def maximal_matching(
                 F.col("dst").cast("string"),
             )
         )
+        if weight_col is not None:
+            # heavier edge => lexicographically smaller prefix => wins
+            pri = F.concat(
+                F.lpad(
+                    (F.lit(999999999999) - F.col(weight_col)).cast("string"),
+                    12,
+                    "0",
+                ),
+                pri,
+            )
         e = rem.select("src", "dst", pri.alias("p"))
         # per-VERTEX incident minimum — a vertex appears as src in some
         # remaining edges and dst in others; both roles must compete,
@@ -80,7 +100,7 @@ def maximal_matching(
         rem = (
             rem.join(matched.withColumnRenamed("v", "src"), "src", "left_anti")
             .join(matched.withColumnRenamed("v", "dst"), "dst", "left_anti")
-            .select("src", "dst")
+            .select(*cols)
             .localCheckpoint(eager=True)
         )
         if rem.limit(1).count() == 0:

@@ -982,6 +982,23 @@ def q_sp_counts_copurchase(spark, sf_dir):
     return shortest_path_counts(copurchase_sym(spark, sf_dir), source=0, rounds=4)
 
 
+def q_heavy_matching_coarse(spark, sf_dir):
+    """Heavy-edge matching on the WEIGHTED coarse graph — the second
+    level of a multilevel pipeline: coarsen the copurchase graph once
+    (matching contraction), then match the coarse graph preferring the
+    heaviest collapsed-weight edges (the Metis coarsening heuristic,
+    operators/matching.py ``weight_col``). Oracle: the full two-level
+    unroll — 8 unweighted rounds, the contraction, then 6 weighted
+    rounds with the identical lpad-complement priority strings."""
+    from trianglecount_spark.operators.matching import (
+        coarsen_by_matching,
+        maximal_matching,
+    )
+
+    cg = coarsen_by_matching(copurchase_sym(spark, sf_dir), max_iter=8)
+    return maximal_matching(cg, max_iter=6, salt="hmatch", weight_col="weight")
+
+
 def q_coloring_copurchase(spark, sf_dir):
     """Luby graph coloring (operators/mis.py ``luby_coloring``): the
     first 4 color classes of the copurchase graph, each class an MIS of
@@ -2552,6 +2569,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_copurchase": q_coloring_copurchase,
         "matching_copurchase": q_matching_copurchase,
         "coarsen_copurchase": q_coarsen_copurchase,
+        "heavy_matching_coarse": q_heavy_matching_coarse,
         "sp_counts_copurchase": q_sp_counts_copurchase,
         "triangle_list_sample": q_triangle_list_sample,
         "docs_quality_deciles": q_docs_quality_deciles,
@@ -3032,6 +3050,50 @@ def _mis_sql(k: int = 8, salt: str = "mis", prefix: str = _CP) -> str:
     return sql + " " + " UNION ALL ".join(
         f"SELECT v, {r} AS round FROM sel{r}" for r in range(1, k + 1)
     )
+
+
+def _heavy_matching_sql(k: int = 6, salt: str = "hmatch") -> str:
+    """Oracle for heavy_matching_coarse: the coarsen_copurchase
+    contraction (as CTEs over the 8 unweighted matching rounds), then
+    ``k`` weighted locally-minimal rounds — priority = zero-padded
+    weight complement prefixed to the md5, identical string order in
+    both engines."""
+    tail = (
+        ", rep AS (SELECT src AS v, src AS rep FROM mm "
+        "UNION ALL SELECT dst AS v, src AS rep FROM mm), "
+        "ce AS (SELECT coalesce(ra.rep, e.src) AS a, "
+        "coalesce(rb.rep, e.dst) AS b "
+        "FROM (SELECT src, dst FROM und WHERE src < dst) e "
+        "LEFT JOIN rep ra ON ra.v = e.src "
+        "LEFT JOIN rep rb ON rb.v = e.dst), "
+        "h0 AS MATERIALIZED (SELECT least(a, b) AS src, "
+        "greatest(a, b) AS dst, CAST(count(*) AS BIGINT) AS weight "
+        "FROM ce WHERE a <> b GROUP BY 1, 2)"
+    )
+    for r in range(1, k + 1):
+        pri = (
+            "lpad(CAST(999999999999 - weight AS VARCHAR), 12, '0') || "
+            f"md5('{salt}:{r}:' || src || ':' || dst)"
+        )
+        tail += (
+            f", hp{r} AS MATERIALIZED (SELECT src, dst, weight, {pri} AS p "
+            f"FROM h{r - 1})"
+            f", hvm{r} AS (SELECT v, min(p) AS vm FROM ("
+            f"SELECT src AS v, p FROM hp{r} UNION ALL "
+            f"SELECT dst AS v, p FROM hp{r}) GROUP BY 1)"
+            f", hwon{r} AS MATERIALIZED (SELECT x.src, x.dst FROM hp{r} x "
+            f"JOIN hvm{r} a ON a.v = x.src JOIN hvm{r} b ON b.v = x.dst "
+            f"WHERE x.p = a.vm AND x.p = b.vm)"
+            f", hmv{r} AS (SELECT src AS v FROM hwon{r} "
+            f"UNION SELECT dst AS v FROM hwon{r})"
+            f", h{r} AS MATERIALIZED (SELECT src, dst, weight FROM hp{r} "
+            f"WHERE src NOT IN (SELECT v FROM hmv{r}) "
+            f"AND dst NOT IN (SELECT v FROM hmv{r}))"
+        )
+    tail += " " + " UNION ALL ".join(
+        f"SELECT src, dst, {r} AS round FROM hwon{r}" for r in range(1, k + 1)
+    )
+    return _matching_sql(8, tail=tail)
 
 
 def _sp_counts_sql(k: int = 4, source: int = 0, prefix: str = _CP) -> str:
@@ -3517,6 +3579,7 @@ o AS (
         "coloring_copurchase": _coloring_sql(4, 4),
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
+        "heavy_matching_coarse": _heavy_matching_sql(6),
         "triangle_list_sample": _CP + (
             ", f AS (SELECT src, dst FROM o WHERE src < 200 AND dst < 200) "
             "SELECT x.src AS a, x.dst AS b, y.dst AS c "
