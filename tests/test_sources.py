@@ -96,3 +96,22 @@ def test_read_pages_parquet_and_iceberg_gate(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="Iceberg catalog"):
         read_pages(spark, "crawl.db.pages", fmt="iceberg")
+
+
+def test_jsonl_pages_reader(spark, tmp_path):
+    from trianglecount_spark.sources.catalog import read_pages_jsonl
+
+    p = tmp_path / "pages.jsonl"
+    p.write_text(
+        '{"url": "https://a.example/x", "html": "<html>A</html>", "lang": "en"}\n'
+        '{"url": "https://a.example/y", "html": "<html>B</html>"}\n'
+        "this line is garbage not json\n"
+    )
+    df = read_pages_jsonl(spark, str(p))
+    rows = df.collect()
+    good = [r for r in rows if r.url is not None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert {r.url for r in good} == {"https://a.example/x", "https://a.example/y"}
+    # absent optional fields surface as nulls, not schema drift
+    assert [r.lang for r in sorted(good, key=lambda r: r.url)] == ["en", None]

@@ -365,6 +365,39 @@ def q_lineitem_rollup(spark, sf_dir):
     )
 
 
+def q_lineitem_stats(spark, sf_dir):
+    """ANALYZE-style column statistics — the table profile a
+    cost-based optimizer (or a data-quality monitor) consumes: per
+    column min / max / null count / exact distinct count, emitted as
+    one row per column in a single multi-aggregate pass (the unpivot
+    happens AFTER aggregation, so the fact table is scanned once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+            F.count_if(F.col(c).isNull()).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = [
+        one.select(
+            F.lit(c).alias("column"),
+            F.col(f"min_{c}").alias("min_v"),
+            F.col(f"max_{c}").alias("max_v"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"ndv_{c}").alias("ndv"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_lineitem_cube(spark, sf_dir):
     """CUBE aggregation — the full 2^k grouping-set lattice in one pass
     (ROLLUP's sibling; SURVEY §2.5 relational breadth): subtotals for
@@ -2616,6 +2649,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_estimate_sampled": q_triangle_estimate_sampled,
         "lineitem_rollup": q_lineitem_rollup,
         "lineitem_cube": q_lineitem_cube,
+        "lineitem_stats": q_lineitem_stats,
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_tfidf_top": q_docs_tfidf_top,
         "events_user_hll": q_events_user_hll,
@@ -3922,6 +3956,13 @@ o AS (
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "lineitem_stats": " UNION ALL ".join(
+            f"SELECT '{c}' AS column, CAST(min({c}) AS DOUBLE) AS min_v, "
+            f"CAST(max({c}) AS DOUBLE) AS max_v, "
+            f"CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv FROM lineitem"
+            for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
         ),
         "lineitem_cube": (
             "SELECT l_returnflag, l_linestatus, "

@@ -80,3 +80,24 @@ def read_pages(
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(source).select(*PAGES_COLUMNS)
     raise ValueError(f"unknown pages format: {fmt!r}")
+
+
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """WET/WARC-export-style JSON-Lines pages reader: one JSON object
+    per line with at least ``url`` and ``html`` (base64 bytes land as
+    strings; ``warc_ts``/``text``/``lang`` optional — absent fields
+    come back null). The schema is EXPLICIT — schema inference would
+    scan the corpus twice and silently widen types between crawls, so
+    at 100 TB it is always pinned. Lines that fail to parse are kept in
+    ``_corrupt_record`` (PERMISSIVE mode) rather than killing the job —
+    crawl exports always contain some garbage."""
+    schema = (
+        "url string, warc_ts timestamp, html string, text string, "
+        "lang string, _corrupt_record string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
