@@ -387,3 +387,39 @@ def test_heavy_edge_matching_prefers_weight(spark):
     ms = [(r.src, r.dst) for r in
           maximal_matching(star, max_iter=4, weight_col="weight").collect()]
     assert ms == [(0, 2)]
+
+
+def test_triangle_listing_complete(spark):
+    # enumeration must agree with the counter on the same filtered DAG
+    from trianglecount_spark.operators import canonicalize_edges, orient, triangle_count_join
+    from pyspark.sql import functions as F
+
+    pairs = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    pairs += [(i, (i + 1) % 40) for i in range(40)]
+    o = orient(canonicalize_edges(spark.createDataFrame(pairs, "src long, dst long")))
+    want = triangle_count_join(o)
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    listed = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi").select("a", "b", "c")
+    rows = listed.collect()
+    assert len(rows) == want
+    # each listed row is a genuine triangle and no duplicates
+    und = {(r.src, r.dst) for r in canonicalize_edges(
+        spark.createDataFrame(pairs, "src long, dst long")).collect()}
+    assert len({tuple(sorted((r.a, r.b, r.c))) for r in rows}) == want
+    for r in rows:
+        assert (r.a, r.b) in und and (r.b, r.c) in und and (r.a, r.c) in und
+
+
+def test_heavy_matching_rejects_out_of_range_weight(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from trianglecount_spark.operators.matching import maximal_matching
+
+    bad = spark.createDataFrame(
+        [(1, 2, -5)], "src long, dst long, weight long"
+    )
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        maximal_matching(bad, max_iter=1, weight_col="weight").collect()

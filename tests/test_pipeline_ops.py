@@ -274,3 +274,19 @@ def test_cdc_chunks_realign_after_insertion(spark):
     # would shift every block)
     shared = set(a) & set(b)
     assert len(shared) >= len(a) - 2, (len(shared), len(a))
+
+
+def test_cdc_short_text_single_chunk(spark):
+    from trianglecount_spark.operators.dedup import content_defined_chunks
+
+    docs = spark.createDataFrame(
+        [(0, "ab"), (1, ""), (2, "abcd efgh ijkl")], "doc_id long, text string"
+    )
+    out = content_defined_chunks(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    # < 4 chars: one whole-text chunk; empty text: no chunks at all
+    assert by_doc[0] == ["ab"]
+    assert 1 not in by_doc
+    assert "".join(by_doc[2]) == "abcd efgh ijkl"

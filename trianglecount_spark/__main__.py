@@ -67,11 +67,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"tc-{args.cmd}-{args.query}", cores=args.cores)
     df = qs[args.query](spark, args.sf_dir)
     if args.cmd == "explain":
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-                df._jdf.queryExecution(), "formatted"
-            )
-        )
+        df.explain("formatted")  # public API; prints the formatted plan
         return 0
     if args.out:
         df.write.mode("overwrite").parquet(args.out)

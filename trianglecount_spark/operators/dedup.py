@@ -276,12 +276,17 @@ def content_defined_chunks(
     content, an insertion early in a doc shifts at most one chunk —
     every later chunk re-aligns and dedups against the store, which
     byte-offset (fixed-size) blocking cannot do. Entirely JVM-side
-    higher-order functions over the string; requires texts ≥ 4 chars
-    (the documents table's min length is 48)."""
+    higher-order functions over the string; texts shorter than 4 chars
+    (no 4-gram fits) emit as a single whole-text chunk, matching the
+    oracle's empty boundary list."""
+    # length guard: sequence(4, L) DESCENDS for L < 4 (same hazard
+    # char_ngrams guards against above) — short texts are one chunk
     bounds = (
         f"concat(array(0), "
+        f"CASE WHEN length({text_col}) >= 4 THEN "
         f"filter(sequence(4, length({text_col})), "
-        f"i -> substring(md5(substring({text_col}, i - 3, 4)), 32, 1) = '0'), "
+        f"i -> substring(md5(substring({text_col}, i - 3, 4)), 32, 1) = '0') "
+        f"ELSE CAST(array() AS array<int>) END, "
         f"array(length({text_col})))"
     )
     chunks = (

@@ -440,9 +440,15 @@ def cosine_topk_quantized(
     BIGINT, and ``sim = dot / (sqrt(qn2)·sqrt(cn2))`` is three
     correctly-rounded IEEE ops on exact integers — bit-identical in any
     engine, so ranking and values hash-match a SQL oracle with no
-    summation-order caveat."""
-    qq = quantize_int8_vectors(queries, id_col, vec_col)
-    qc = quantize_int8_vectors(corpus, id_col, vec_col)
+    summation-order caveat. Zero-norm vectors (cosine undefined, 0/0)
+    are excluded on both sides rather than left to engine-specific NaN
+    ordering."""
+    # zero-norm vectors have no direction: cosine would be 0/0 = NaN,
+    # which Spark's isfinite filter and a SQL engine's NaN ordering
+    # treat DIFFERENTLY — exclude them on BOTH sides (the oracle
+    # applies the identical qn2 > 0 filter)
+    qq = quantize_int8_vectors(queries, id_col, vec_col).where(F.col("qn2") > 0)
+    qc = quantize_int8_vectors(corpus, id_col, vec_col).where(F.col("qn2") > 0)
     qrows = qq.collect()
     if not qrows:
         return queries.sparkSession.createDataFrame(

@@ -68,14 +68,24 @@ def maximal_matching(
             )
         )
         if weight_col is not None:
-            # heavier edge => lexicographically smaller prefix => wins
-            pri = F.concat(
-                F.lpad(
-                    (F.lit(999999999999) - F.col(weight_col)).cast("string"),
-                    12,
-                    "0",
+            # heavier edge => lexicographically smaller prefix => wins.
+            # The complement string only orders correctly for weights in
+            # [0, 999999999998] — outside it, fail LOUDLY (inside the
+            # used expression, so column pruning can't drop the check)
+            w = F.col(weight_col)
+            pri = F.when(
+                (w >= 0) & (w <= 999999999998),
+                F.concat(
+                    F.lpad((F.lit(999999999999) - w).cast("string"), 12, "0"),
+                    pri,
                 ),
-                pri,
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("heavy-edge matching weight out of [0, 999999999998]: "),
+                        w.cast("string"),
+                    )
+                )
             )
         e = rem.select("src", "dst", pri.alias("p"))
         # per-VERTEX incident minimum — a vertex appears as src in some

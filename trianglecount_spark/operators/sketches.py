@@ -184,17 +184,13 @@ def cms_estimate(
     )
 
 
-def bloom_build(
-    df: DataFrame, col: str, m_bits: int = 65536, k_hashes: int = 4, salt: str = "bloom"
+def _bloom_probes(
+    df: DataFrame, col: str, m_bits: int, k_hashes: int, salt: str
 ) -> DataFrame:
-    """Bloom filter build: the distinct set-bit positions (one column
-    ``bit``) for the membership set — rows ≤ m_bits, so the built
-    filter is broadcast-sized no matter how many members went in (the
-    crawl-frontier \"have we fetched this url\" shape: the fetched set
-    is petabytes, the filter is kilobytes). Bit j for member x is
-    ``md5('<salt>:<j>:' || x) mod m_bits`` — portable and
-    deterministic, so even false positives are reproducible
-    cross-engine."""
+    """Shared bit-position expansion: ``x, bit`` — k rows per input.
+    ONE definition on purpose: build and probe must hash identically or
+    members would stop matching their own filter (a silent false
+    negative, the one thing a Bloom filter must never produce)."""
     j = F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("j")
     rows = df.select(F.col(col).alias("x"), j)
     bit = (
@@ -207,7 +203,22 @@ def bloom_build(
         ).cast("long")
         % m_bits
     )
-    return rows.select(bit.alias("bit")).distinct()
+    return rows.select("x", bit.alias("bit"))
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 65536, k_hashes: int = 4, salt: str = "bloom"
+) -> DataFrame:
+    """Bloom filter build: the distinct set-bit positions (one column
+    ``bit``) for the membership set — rows ≤ m_bits, so the built
+    filter is broadcast-sized no matter how many members went in (the
+    crawl-frontier \"have we fetched this url\" shape: the fetched set
+    is petabytes, the filter is kilobytes). Bit j for member x is
+    ``md5('<salt>:<j>:' || x) mod m_bits`` — portable and
+    deterministic, so even false positives are reproducible
+    cross-engine."""
+    rows = _bloom_probes(df, col, m_bits, k_hashes, salt)
+    return rows.select("bit").distinct()
 
 
 def bloom_maybe_contains(
@@ -223,19 +234,7 @@ def bloom_maybe_contains(
     positives bounded by the m/n ratio and identical cross-engine).
     The probe explodes k rows per candidate and semi-counts hits
     against the (broadcastable) bit table."""
-    j = F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("j")
-    rows = candidates.select(F.col(col).alias("x"), j)
-    bit = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(salt), F.col("j"), F.col("x"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
-    )
-    probes = rows.select("x", bit.alias("bit"))
+    probes = _bloom_probes(candidates, col, m_bits, k_hashes, salt)
     hits = probes.join(bits, "bit", "left_semi").groupBy("x").agg(
         F.count("*").alias("h")
     )

@@ -982,13 +982,16 @@ def q_triangle_list_sample(spark, sf_dir):
     o = copurchase_oriented(spark, sf_dir).where(
         (F.col("src") < 200) & (F.col("dst") < 200)
     )
+    # path-wedge form, exactly like triangles_join: every triangle of a
+    # DAG has ONE directed path a→b→c with closing edge a→c. (The naive
+    # "both wedge arms from a, b<c by id" form misses every triangle
+    # whose closing edge is oriented high→low id — 205 of 443 here.)
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = o.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
-    e3 = o.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     return (
-        e1.join(e2, F.col("a") == F.col("a2"))
-        .where(F.col("b") < F.col("c"))
-        .join(e3, (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")), "left_semi")
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
         .select("a", "b", "c")
     )
 
@@ -2450,7 +2453,8 @@ def _qknn_sql(qfilter: str = "a.vec_id < 20") -> str:
         "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
         "p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot, "
         "a.qn2 AS qa2, b.qn2 AS cb2 FROM n a, n b "
-        f"WHERE {qfilter} AND a.vec_id <> b.vec_id), "
+        f"WHERE {qfilter} AND a.vec_id <> b.vec_id "
+        "AND a.qn2 > 0 AND b.qn2 > 0), "
         "r AS (SELECT q, nbr, dot, dot / (sqrt(qa2) * sqrt(cb2)) AS sim, "
         "row_number() OVER (PARTITION BY q ORDER BY "
         "dot / (sqrt(qa2) * sqrt(cb2)) DESC, nbr ASC) AS rk FROM s)"
@@ -3617,8 +3621,8 @@ o AS (
         "triangle_list_sample": _CP + (
             ", f AS (SELECT src, dst FROM o WHERE src < 200 AND dst < 200) "
             "SELECT x.src AS a, x.dst AS b, y.dst AS c "
-            "FROM f x JOIN f y ON y.src = x.src AND x.dst < y.dst "
-            "JOIN f z ON z.src = x.dst AND z.dst = y.dst"
+            "FROM f x JOIN f y ON y.src = x.dst "
+            "JOIN f z ON z.src = x.src AND z.dst = y.dst"
         ),
         "docs_quality_deciles": (
             "SELECT doc_id, lang, n_chars, "
