@@ -1280,6 +1280,23 @@ def q_events_stream_sessions(spark, sf_dir):
     return session_event_counts(spark, sf_dir)
 
 
+def q_events_user_journeys(spark, sf_dir):
+    """Per-user journey strings: the full ordered event-type sequence
+    per user, one hash aggregate (sort_array over collected
+    (ts, event_id, type) structs — per-group in-memory sort, bounded by
+    real per-user history lengths, never a global sort). The string
+    form ('click>view>...') is what sequence-mining and session-model
+    training consume."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.expr(
+        "array_join(transform(sort_array(collect_list("
+        "struct(ts, event_id, event_type))), x -> x.event_type), '>')"
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("journey"), F.count("*").alias("n_events")
+    )
+
+
 def q_events_props_json(spark, sf_dir):
     """JSON extraction surface (SURVEY §2.5 noted the reference has no
     json functions at all): parse the ``props`` JSON column with an
@@ -2620,6 +2637,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_transitions": q_events_transitions,
         "events_props_json": q_events_props_json,
+        "events_user_journeys": q_events_user_journeys,
         "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
@@ -3735,6 +3753,12 @@ o AS (
             "AS to_type FROM events) "
             "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
             "FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_user_journeys": (
+            "SELECT user_id, "
+            "string_agg(event_type, '>' ORDER BY ts, event_id) AS journey, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1"
         ),
         "events_props_json": (
             "SELECT event_type, "
