@@ -1280,6 +1280,29 @@ def q_events_stream_sessions(spark, sf_dir):
     return session_event_counts(spark, sf_dir)
 
 
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted distinct per weeks-since-cohort — the standard
+    retention triangle. Two hash aggregates (per-user cohort, then the
+    (cohort, offset) distinct count); week buckets via date_trunc
+    (ISO Monday weeks in both engines), offsets as exact day
+    differences / 7."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_events_user_journeys(spark, sf_dir):
     """Per-user journey strings: the full ordered event-type sequence
     per user, one hash aggregate (sort_array over collected
@@ -2638,6 +2661,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "events_props_json": q_events_props_json,
         "events_user_journeys": q_events_user_journeys,
+        "events_cohort_retention": q_events_cohort_retention,
         "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
@@ -3753,6 +3777,21 @@ o AS (
             "AS to_type FROM events) "
             "SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
             "FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_cohort_retention": (
+            # DuckDB date_trunc('week') yields DATE; Spark yields
+            # TIMESTAMP — cast so the formatted values agree
+            "WITH c AS (SELECT user_id, "
+            "min(CAST(date_trunc('week', ts) AS TIMESTAMP)) "
+            "AS cohort_week FROM events GROUP BY 1), "
+            "a AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('week', ts) AS TIMESTAMP) AS week "
+            "FROM events) "
+            "SELECT cohort_week, "
+            "CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) "
+            "AS week_offset, "
+            "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users "
+            "FROM a JOIN c ON c.user_id = a.user_id GROUP BY 1, 2"
         ),
         "events_user_journeys": (
             "SELECT user_id, "
