@@ -423,3 +423,70 @@ def test_heavy_matching_rejects_out_of_range_weight(spark):
     )
     with _pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         maximal_matching(bad, max_iter=1, weight_col="weight").collect()
+
+
+def test_stress_centrality_diamond(spark):
+    # diamond 0-1, 0-2, 1-3, 2-3 from source 0:
+    # sigma: 0→1, 1→1, 2→1, 3→2; tau: 3→0, 1→1, 2→1, 0→4
+    from trianglecount_spark.operators.metrics import stress_centrality
+
+    sym = _sym(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    got = {
+        r.v: (r.dist, r.sigma, r.tau, r.n_paths_through)
+        for r in stress_centrality(sym, source=0, rounds=4).collect()
+    }
+    assert got[0] == (0, 1, 4, 4)
+    assert got[1] == (1, 1, 1, 1)
+    assert got[2] == (1, 1, 1, 1)
+    assert got[3] == (2, 2, 0, 0)
+
+
+def test_stress_centrality_path(spark):
+    # path 0-1-2-3: through-counts at 1 cover targets {2,3}, at 2 cover {3}
+    from trianglecount_spark.operators.metrics import stress_centrality
+
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r.v: r.n_paths_through
+        for r in stress_centrality(sym, source=0, rounds=4).collect()
+    }
+    assert got[1] == 2 and got[2] == 1 and got[3] == 0
+
+
+def test_stress_respects_round_budget(spark):
+    # path 0-1-2-3 with rounds=2: vertex 3 absent, tau truncated at the
+    # horizon (2 is the deepest level => tau 0 there, 1 sees only {2})
+    from trianglecount_spark.operators.metrics import stress_centrality
+
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r.v: (r.dist, r.tau)
+        for r in stress_centrality(sym, source=0, rounds=2).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[2] == (2, 0) and got[1] == (1, 1)
+
+
+def test_link_prediction_ra_square(spark):
+    # 4-cycle: the two diagonals are the only non-adjacent pairs; every
+    # center has deg 2 => RA = 2 * (1000000 div 2) = exactly 1000000
+    from trianglecount_spark.operators.metrics import link_prediction_ra
+
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    rows = link_prediction_ra(sym, min_common=2).collect()
+    got = {(r.u, r.w): (r.common, r.ra_millionths) for r in rows}
+    assert got == {(0, 2): (2, 1000000), (1, 3): (2, 1000000)}
+
+
+def test_link_prediction_ra_damps_hubs(spark):
+    # two centers between (0,9): hub 1 (deg 5) and leaf-ish 2 (deg 2):
+    # RA = 1000000 div 5 + 1000000 div 2 = 700000
+    from trianglecount_spark.operators.metrics import link_prediction_ra
+
+    sym = _sym(
+        spark,
+        [(0, 1), (1, 9), (0, 2), (2, 9), (1, 4), (1, 5), (1, 6)],
+    )
+    rows = link_prediction_ra(sym, min_common=2).collect()
+    got = {(r.u, r.w): r.ra_millionths for r in rows}
+    assert got[(0, 9)] == 200000 + 500000

@@ -386,3 +386,109 @@ def shortest_path_counts(
         )
         state = state.unionByName(cand).localCheckpoint(eager=True)
     return state
+
+
+def stress_centrality(
+    sym_edges: DataFrame, source: int, rounds: int = 4
+) -> DataFrame:
+    """Stress centrality from one source — BOTH passes of Brandes'
+    algorithm in their exact-integer form. Forward pass =
+    ``shortest_path_counts`` (sigma = #shortest s→v paths per level).
+    Backward pass: on the shortest-path DAG (edges u→w with
+    dist(w) = dist(u)+1), tau(v) = Σ_{w ∈ succ(v)} (1 + tau(w)) =
+    number of DAG paths STARTING at v; then sigma(v)·tau(v) is exactly
+    the number of shortest paths from s that pass THROUGH v to some
+    strictly-farther target — the per-source stress term
+    Σ_t σ_st(v). Unlike betweenness' delta accumulation (which divides
+    sigmas — order-dependent float sums), every quantity here is a
+    BIGINT, so a SQL oracle reproduces it bit-for-bit.
+
+    One level-synchronous join per round in each direction; every
+    shuffle keys on the vertex id, so consecutive rounds reuse the same
+    hash partitioning at scale. Output: ``v, dist, sigma, tau,
+    n_paths_through`` for every vertex within the ``rounds`` budget
+    (sampled-Brandes regime: at web scale run a seed set of sources and
+    sum — each source is an independent job)."""
+    state = shortest_path_counts(sym_edges, source, rounds)
+    lv = state.select("v", "dist").localCheckpoint(eager=True)
+    dag = (
+        lv.withColumnRenamed("v", "u")
+        .join(sym_edges.withColumnRenamed("src", "u"), "u")
+        .join(
+            lv.select(F.col("v").alias("dst"), F.col("dist").alias("dw")),
+            "dst",
+        )
+        .where(F.col("dw") == F.col("dist") + 1)
+        .select("u", F.col("dst").alias("w"), F.col("dist").alias("du"))
+        .localCheckpoint(eager=True)
+    )
+    tau = lv.where(F.col("dist") == rounds).select(
+        "v", F.lit(0).cast("long").alias("tau")
+    )
+    for d in range(rounds - 1, -1, -1):
+        succ = (
+            dag.where(F.col("du") == d)
+            .join(tau.withColumnRenamed("v", "w"), "w")
+            .groupBy("u")
+            .agg(F.sum(F.lit(1) + F.col("tau")).alias("tau"))
+            .select(F.col("u").alias("v"), F.col("tau").cast("long").alias("tau"))
+        )
+        level = (
+            lv.where(F.col("dist") == d)
+            .join(succ, "v", "left")
+            .select("v", F.coalesce(F.col("tau"), F.lit(0)).cast("long").alias("tau"))
+        )
+        tau = tau.unionByName(level).localCheckpoint(eager=True)
+    return state.join(tau, "v").select(
+        "v",
+        "dist",
+        "sigma",
+        "tau",
+        (F.col("sigma") * F.col("tau")).cast("long").alias("n_paths_through"),
+    )
+
+
+def link_prediction_ra(
+    sym_edges: DataFrame, min_common: int = 2
+) -> DataFrame:
+    """Resource-allocation link prediction: non-adjacent pairs ``u < w``
+    scored by RA(u,w) = Σ_{v ∈ CN(u,w)} 1/deg(v) — the Zhou-Lü-Zhang
+    index, empirically the strongest of the local similarity indices on
+    power-law graphs (it damps hub intermediaries harder than
+    Adamic-Adar's 1/log deg). Computed in exact MILLIONTHS via integer
+    division (1000000 div deg(v), then a BIGINT sum) so the score is
+    aggregation-order-independent and reproduces bit-for-bit in any
+    engine — no float summation anywhere.
+
+    Same physical shape as ``link_prediction_jaccard``: one wedge
+    self-join on the center vertex, one pair-key hash agg, one
+    anti-join against the edge set. The center's degree joins BEFORE
+    the wedge expansion (a broadcast-sized (v, deg) table at any
+    scale ≪ the wedge stream), so each wedge row already carries its
+    millionths contribution into the partial aggregate."""
+    deg = degrees(sym_edges)
+    centered = sym_edges.join(
+        deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "cdeg"),
+        "src",
+    ).select(
+        F.col("src").alias("v"),
+        F.col("dst").alias("u"),
+        F.expr("1000000 div cdeg").cast("long").alias("ra_part"),
+    )
+    e2 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        centered.join(e2, "v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").alias("common"),
+            F.sum("ra_part").cast("long").alias("ra_millionths"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    existing = sym_edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    return cn.join(existing, ["u", "w"], "left_anti").select(
+        "u", "w", F.col("common").cast("long").alias("common"), "ra_millionths"
+    )

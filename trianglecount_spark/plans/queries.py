@@ -1211,6 +1211,56 @@ def q_region_nation_volume(spark, sf_dir):
     )
 
 
+def q_orders_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape — order priority checking: count orders per
+    priority in a half-year window having AT LEAST ONE late shipment
+    (l_shipdate more than 60 days after o_orderdate). The EXISTS
+    subquery is a LEFT SEMI join with a non-equi residual on the date
+    columns — Catalyst executes the equi part (orderkey) as the join
+    key and the 60-day predicate as the join filter, so each order
+    probes only its own lineitems and short-circuits at the first
+    match (no count/distinct over the fact table). Both sides shuffle
+    on orderkey; at 100 TB neither is broadcastable and this is the
+    minimal one-shuffle plan."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+
+
+def q_stress_copurchase(spark, sf_dir):
+    """Stress centrality from source 0 on the copurchase graph —
+    Brandes' TWO-pass algorithm with every quantity a BIGINT (sigma =
+    forward path counts, tau = backward DAG-path counts, stress term =
+    sigma·tau). See operators/metrics.py:stress_centrality; the oracle
+    unrolls both passes level-by-level."""
+    from trianglecount_spark.operators.metrics import stress_centrality
+
+    return stress_centrality(copurchase_sym(spark, sf_dir), source=0, rounds=4)
+
+
+def q_link_prediction_ra(spark, sf_dir):
+    """Resource-allocation link prediction in exact millionths
+    (1000000 div deg(center), BIGINT sum) — the hub-damping local
+    similarity index, aggregation-order-proof cross-engine."""
+    from trianglecount_spark.operators.metrics import link_prediction_ra
+
+    return link_prediction_ra(copurchase_sym(spark, sf_dir), min_common=12)
+
+
 def q_events_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2648,6 +2698,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_copurchase": q_coarsen_copurchase,
         "heavy_matching_coarse": q_heavy_matching_coarse,
         "sp_counts_copurchase": q_sp_counts_copurchase,
+        "stress_copurchase": q_stress_copurchase,
+        "link_prediction_ra": q_link_prediction_ra,
+        "orders_priority_exists": q_orders_priority_exists,
         "triangle_list_sample": q_triangle_list_sample,
         "docs_quality_deciles": q_docs_quality_deciles,
         "modularity_lpa": q_modularity_lpa,
@@ -3197,6 +3250,36 @@ def _sp_counts_sql(k: int = 4, source: int = 0, prefix: str = _CP) -> str:
     return sql + f" SELECT v, dist, sigma FROM s{k}"
 
 
+def _stress_sql(k: int = 4, source: int = 0, prefix: str = _CP) -> str:
+    """Oracle for stress_copurchase: both Brandes passes unrolled in
+    integer arithmetic — forward sigma levels (reusing _sp_counts_sql's
+    blocks), then the shortest-path DAG, then backward tau levels
+    tau(v) = Σ_succ (1 + tau(w)), deepest level first."""
+    base = _sp_counts_sql(k, source, prefix)
+    sql = base[: base.rindex(" SELECT v, dist, sigma FROM")]
+    sql += (
+        f", dag AS MATERIALIZED (SELECT a.v AS u, e.dst AS w, a.dist AS du "
+        f"FROM s{k} a JOIN und e ON e.src = a.v "
+        f"JOIN s{k} b ON b.v = e.dst AND b.dist = a.dist + 1)"
+        f", t{k} AS (SELECT v, CAST(0 AS BIGINT) AS tau "
+        f"FROM s{k} WHERE dist = {k})"
+    )
+    for d in range(k - 1, -1, -1):
+        sql += (
+            f", x{d} AS (SELECT g.u AS v, CAST(sum(1 + t.tau) AS BIGINT) AS tau "
+            f"FROM dag g JOIN t{d + 1} t ON t.v = g.w WHERE g.du = {d} "
+            f"GROUP BY 1)"
+            f", t{d} AS MATERIALIZED (SELECT * FROM t{d + 1} UNION ALL "
+            f"SELECT s.v, CAST(coalesce(x.tau, 0) AS BIGINT) AS tau "
+            f"FROM s{k} s LEFT JOIN x{d} x ON x.v = s.v WHERE s.dist = {d})"
+        )
+    return sql + (
+        f" SELECT s.v, s.dist, s.sigma, t.tau, "
+        f"CAST(s.sigma * t.tau AS BIGINT) AS n_paths_through "
+        f"FROM s{k} s JOIN t0 t ON t.v = s.v"
+    )
+
+
 def _matching_sql(
     k: int = 8, salt: str = "match", prefix: str = _CP, tail: str | None = None
 ) -> str:
@@ -3659,6 +3742,30 @@ o AS (
         "coloring_copurchase": _coloring_sql(4, 4),
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
+        "stress_copurchase": _stress_sql(4, 0),
+        "link_prediction_ra": _CP
+        + (
+            ", ctr AS (SELECT e.src AS v, e.dst AS u, "
+            "CAST(1000000 // d.deg AS BIGINT) AS ra_part "
+            "FROM und e JOIN deg d ON d.v = e.src), "
+            "cn AS (SELECT c.u, e2.dst AS w, count(*) AS common, "
+            "CAST(sum(c.ra_part) AS BIGINT) AS ra_millionths "
+            "FROM ctr c JOIN und e2 ON e2.src = c.v AND c.u < e2.dst "
+            "GROUP BY 1, 2 HAVING count(*) >= 12) "
+            "SELECT cn.u, cn.w, CAST(cn.common AS BIGINT) AS common, "
+            "ra_millionths FROM cn "
+            "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
+            "WHERE e.src IS NULL"
+        ),
+        "orders_priority_exists": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY 1"
+        ),
         "heavy_matching_coarse": _heavy_matching_sql(6),
         "triangle_list_sample": _CP + (
             ", f AS (SELECT src, dst FROM o WHERE src < 200 AND dst < 200) "
