@@ -167,3 +167,75 @@ def test_stream_stream_attribution_equals_batch(spark, tmp_path):
     # (20 min), click 6 -> purchase 7 (5 min); click 1 NOT -> purchase 7
     # (130 min > 30 min lookback)
     assert got == {(1, 1, 3), (2, 2, 5), (1, 6, 7)}
+
+
+def test_spend_alarms_state_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    from trianglecount_spark.streaming.edges_stream import spend_alarms
+
+    # 3 files + maxFilesPerTrigger=1 => 3 micro-batches; user 1's
+    # running total must CARRY between triggers (GroupState): $30 + $30
+    # crosses the $50 threshold only if batch 2 sees batch 1's state
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, etype, value):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, etype, value, "{}")
+
+    batches = [
+        [ev(1, 0, 1, "purchase", 30.0), ev(2, 1, 2, "purchase", 120.0)],
+        [ev(3, 10, 1, "purchase", 30.0), ev(4, 11, 2, "view", 999.0)],
+        [ev(5, 20, 1, "purchase", 45.0)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(str(tmp_path / f"al{i}.parquet"), index=False)
+    got = {
+        (r.user_id, r.event_id): (r.cum_cents, r.level)
+        for r in spend_alarms(
+            spark,
+            str(tmp_path),
+            threshold_cents=5000,
+            glob="al*.parquet",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    # user 1: 3000 (no), 6000 (level 1, needs batch-1 state), 10500 (2)
+    # user 2: 12000 at once (level 2, single row for a 2-level jump)
+    assert got == {
+        (1, 3): (6000, 1),
+        (1, 5): (10500, 2),
+        (2, 2): (12000, 2),
+    }
+
+
+def test_sliding_windows_match_batch_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from trianglecount_spark.streaming.edges_stream import sliding_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = sliding_event_counts(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wm = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .where(F.col("w.end") <= F.lit(wm) - F.expr("INTERVAL 2 HOURS"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "value_cents")
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    # sliding: total window memberships = 2x the emitted-range events
+    assert got.count() > 0

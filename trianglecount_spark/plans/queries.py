@@ -1330,6 +1330,27 @@ def q_events_stream_sessions(spark, sf_dir):
     return session_event_counts(spark, sf_dir)
 
 
+def q_events_stream_sliding(spark, sf_dir):
+    """Streaming SLIDING-window aggregation (1h windows every 30min —
+    each event in 2 windows), availableNow-drained; emission = windows
+    closed by the settled watermark, enumerated closed-form by the
+    oracle. [EXT]."""
+    from trianglecount_spark.streaming.edges_stream import sliding_event_counts
+
+    return sliding_event_counts(spark, sf_dir)
+
+
+def q_events_stream_alarms(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running purchase spend with threshold-crossing alarm rows
+    — GroupState holds one long per user, O(users) state on an
+    unbounded stream. The oracle is the equivalent batch window query
+    (running cents sum, emit on level increase). [EXT]."""
+    from trianglecount_spark.streaming.edges_stream import spend_alarms
+
+    return spend_alarms(spark, sf_dir, threshold_cents=5000)
+
+
 def q_events_cohort_retention(spark, sf_dir):
     """Weekly cohort retention matrix: users grouped by first-activity
     week, counted distinct per weeks-since-cohort — the standard
@@ -2718,6 +2739,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_incremental": q_events_stream_incremental,
         "events_stream_windows": q_events_stream_windows,
         "events_stream_sessions": q_events_stream_sessions,
+        "events_stream_sliding": q_events_stream_sliding,
+        "events_stream_alarms": q_events_stream_alarms,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_attribution": q_events_stream_attribution,
         "clustering_coeff": q_clustering_coeff,
@@ -3932,6 +3955,39 @@ o AS (
             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY 1, 2 "
             "HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)"
+        ),
+        "events_stream_sliding": (
+            # each event's two member windows enumerated closed-form:
+            # the 30-min floor bucket and that minus one slide; emission
+            # = windows fully closed by the settled watermark max(ts)-2h
+            "WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events), "
+            "c AS (SELECT make_timestamp((epoch_us(ts) // 1800000000) "
+            "* 1800000000) AS win_start, event_type, value FROM events "
+            "UNION ALL "
+            "SELECT make_timestamp((epoch_us(ts) // 1800000000) "
+            "* 1800000000) - INTERVAL 30 MINUTE, event_type, value "
+            "FROM events) "
+            "SELECT win_start, event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM c GROUP BY 1, 2 "
+            "HAVING win_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)"
+        ),
+        "events_stream_alarms": (
+            # batch closed form of the GroupState operator: running
+            # per-user cents sum in (ts, event_id) order, one alarm row
+            # per event where cum div 5000 increases
+            "WITH p AS (SELECT user_id, event_id, ts, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase'), "
+            "cum AS (SELECT user_id, event_id, ts, "
+            "CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM p), "
+            "x AS (SELECT user_id, event_id, cum_cents, "
+            "coalesce(lag(cum_cents) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), 0) AS prev FROM cum) "
+            "SELECT user_id, event_id, cum_cents, "
+            "CAST(cum_cents // 5000 AS BIGINT) AS level FROM x "
+            "WHERE cum_cents // 5000 > prev // 5000"
         ),
         "clustering_coeff": _LCC_SQL,
         "kcore_suppliers": _kcore_sql(30, 8),

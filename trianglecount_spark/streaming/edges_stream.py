@@ -156,6 +156,139 @@ def session_event_counts(
     return spark.read.schema(SESSION_EVENTS_SCHEMA).parquet(out)
 
 
+def sliding_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """[EXT] Streaming SLIDING-window aggregation (overlapping windows:
+    every event belongs to window/slide = 2 windows) — the moving-rate
+    dashboard shape. Same determinism argument as
+    ``windowed_event_counts``: append mode emits exactly the windows
+    with ``win_end <= max(ts) - delay`` once the availableNow drain
+    settles the watermark, and the DuckDB oracle enumerates each
+    event's two member windows closed-form (win_start = 30-min floor
+    and that minus one slide). Integer-cents value sum keeps the
+    aggregate order-independent."""
+    import tempfile
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="tc_slide_out_")
+    ckpt = tempfile.mkdtemp(prefix="tc_slide_ckpt_")
+    run_available_now(agg, out, ckpt)
+    return spark.read.schema(WINDOWED_EVENTS_SCHEMA).parquet(out)
+
+
+SPEND_ALARMS_SCHEMA = "user_id long, event_id long, cum_cents long, level long"
+
+
+def spend_alarms(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_cents: int = 5000,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """[EXT] CUSTOM stateful streaming operator via
+    ``applyInPandasWithState`` — the escape hatch SURVEY §2.5 reserves
+    for semantics no built-in stateful operator expresses: per-user
+    RUNNING cumulative purchase spend with an alarm row emitted each
+    time the total crosses a ``threshold_cents`` boundary (budget
+    alerting / rate limiting). Windows can't express "running total
+    since forever" and dropDuplicates/session_window don't carry
+    numeric state; a GroupState holding ONE long per user does —
+    state size is O(users), independent of stream length.
+
+    Arrow-batched per group; inside the UDF the micro-batch's rows
+    sort by (ts, event_id), so with time-ordered file arrival the
+    emitted alarms are exactly the batch closed form: cum = running
+    cents sum in (ts, event_id) order, emit when cum div threshold
+    increases (one row per crossing event, carrying the new level).
+    The DuckDB oracle is that window query verbatim."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    thr = int(threshold_cents)
+
+    def fn(key, pdf_iter, state: GroupState):
+        cum = state.get[0] if state.exists else 0
+        uid = key[0]
+        out_uid, out_eid, out_cum, out_lvl = [], [], [], []
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            # one micro-batch may hand the group over in several Arrow
+            # chunks — order is only defined after concatenating them
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for eid, cents in zip(pdf["event_id"], pdf["cents"]):
+                before = cum // thr
+                cum += int(cents)
+                level = cum // thr
+                if level > before:
+                    out_uid.append(uid)
+                    out_eid.append(int(eid))
+                    out_cum.append(cum)
+                    out_lvl.append(level)
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(out_uid, dtype="int64"),
+                "event_id": pd.Series(out_eid, dtype="int64"),
+                "cum_cents": pd.Series(out_cum, dtype="int64"),
+                "level": pd.Series(out_lvl, dtype="int64"),
+            }
+        )
+
+    alarms = purchases.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SPEND_ALARMS_SCHEMA,
+        stateStructType="cum long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = tempfile.mkdtemp(prefix="tc_alarm_out_")
+    ckpt = tempfile.mkdtemp(prefix="tc_alarm_ckpt_")
+    run_available_now(alarms, out, ckpt)
+    return spark.read.schema(SPEND_ALARMS_SCHEMA).parquet(out)
+
+
 DEDUP_KEYS_SCHEMA = "user_id long, event_type string"
 
 
