@@ -200,3 +200,23 @@ def test_q5_star_join_broadcasts_dimensions(spark):
 
     plan3 = _plan(q_orders_revenue_topn(spark, SF))
     assert "TakeOrderedAndProject" in plan3
+
+
+def test_q6_sql_text_pushes_filters_to_scan(spark):
+    from trianglecount_spark.plans.queries import q_lineitem_q6_sql
+
+    plan = _plan(q_lineitem_q6_sql(spark, SF))
+    # the SQL-text path lands its predicates in the parquet scan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q17_correlated_is_one_agg_plus_join(spark):
+    from trianglecount_spark.plans.queries import q_part_avg_qty_correlated
+
+    plan = _plan(q_part_avg_qty_correlated(spark, SF))
+    # decorrelated: a hash-agg per part reused by an equi-join probe —
+    # never a per-row subquery (no nested-loop/cartesian anywhere)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final of the per-part agg

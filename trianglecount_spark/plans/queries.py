@@ -1261,6 +1261,60 @@ def q_link_prediction_ra(spark, sf_dir):
     return link_prediction_ra(copurchase_sym(spark, sf_dir), min_common=12)
 
 
+def q_lineitem_q6_sql(spark, sf_dir):
+    """TPC-H Q6 shape through the SQL-TEXT surface: the engine's other
+    public API. Registers the parquet table as a temp view and runs
+    ``spark.sql(...)`` — the identical string a reference user would
+    type — proving the declarative path (parser → Catalyst) serves the
+    same plans as the DataFrame API. Single-table scan with three
+    pushable predicates and one exact-cents aggregate; ``.explain``
+    shows the filters land in PushedFilters at the parquet scan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+def q_part_avg_qty_correlated(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery: lineitems whose
+    quantity is below 50%% of their part's average quantity (the
+    small-order tail). Spark decorrelates the subquery into an
+    aggregate-then-join — the per-part avg is ONE hash agg reused
+    across all probes, never a per-row subquery execution. The
+    comparison stays exact: qty*100 (integer) vs the part's
+    sum(qty)*50 div count (integer division both engines round the
+    same way on non-negative values) — no float avg anywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count("*").alias("nq"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(
+            F.col("l_quantity").cast("long") * 100
+            < F.expr("(sq * 50) div nq")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_small"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("price_cents"),
+        )
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2722,6 +2776,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress_copurchase": q_stress_copurchase,
         "link_prediction_ra": q_link_prediction_ra,
         "orders_priority_exists": q_orders_priority_exists,
+        "lineitem_q6_sql": q_lineitem_q6_sql,
+        "part_avg_qty_correlated": q_part_avg_qty_correlated,
         "triangle_list_sample": q_triangle_list_sample,
         "docs_quality_deciles": q_docs_quality_deciles,
         "modularity_lpa": q_modularity_lpa,
@@ -3779,6 +3835,27 @@ o AS (
             "ra_millionths FROM cn "
             "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
             "WHERE e.src IS NULL"
+        ),
+        "lineitem_q6_sql": (
+            "SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "part_avg_qty_correlated": (
+            # decorrelated form of the Q17 correlated scalar subquery;
+            # the threshold stays integral (sum*50 // count) both sides
+            "WITH pp AS (SELECT l_partkey, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, "
+            "CAST(count(*) AS BIGINT) AS nq FROM lineitem GROUP BY 1) "
+            "SELECT li.l_partkey, CAST(count(*) AS BIGINT) AS n_small, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS price_cents "
+            "FROM lineitem li JOIN pp ON pp.l_partkey = li.l_partkey "
+            "WHERE CAST(li.l_quantity AS BIGINT) * 100 < (pp.sq * 50) // pp.nq "
+            "GROUP BY 1"
         ),
         "orders_priority_exists": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
