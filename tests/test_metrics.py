@@ -490,3 +490,26 @@ def test_link_prediction_ra_damps_hubs(spark):
     rows = link_prediction_ra(sym, min_common=2).collect()
     got = {(r.u, r.w): r.ra_millionths for r in rows}
     assert got[(0, 9)] == 200000 + 500000
+
+
+def test_katz_truncated_path_graph(spark):
+    # path 0-1-2: walks_1 = (1,2,1), walks_2 = (2,2,2), walks_3 = (2,4,2)
+    # katz_m = w1*250000 + w2*62500 + w3*15625
+    from trianglecount_spark.operators.metrics import katz_centrality
+
+    sym = _sym(spark, [(0, 1), (1, 2)])
+    got = {r.v: r.katz_millionths for r in katz_centrality(sym).collect()}
+    assert got == {0: 406250, 1: 687500, 2: 406250}
+
+
+def test_katz_single_edge_rounds(spark):
+    # K2: walks_i(v) = 1 for all i; beta_inv=2, rounds=2 ->
+    # 500000 + 250000
+    from trianglecount_spark.operators.metrics import katz_centrality
+
+    sym = _sym(spark, [(0, 1)])
+    got = {
+        r.v: r.katz_millionths
+        for r in katz_centrality(sym, beta_inv=2, rounds=2).collect()
+    }
+    assert got == {0: 750000, 1: 750000}

@@ -112,3 +112,29 @@ def test_kernel_huge_ids_salted(spark):
     assert (
         triangle_count_kernel(o, n_parts=4, salt_threshold=5, n_salts=4) == want
     )
+
+
+def test_weighted_triangle_total_goldens(spark):
+    from trianglecount_spark.operators.triangles import weighted_triangle_total
+
+    # triangle with edge multiplicities 3, 2, 1 -> min = 1
+    raw = spark.createDataFrame(
+        [(0, 1)] * 3 + [(1, 2)] * 2 + [(0, 2)], "src long, dst long"
+    )
+    r = weighted_triangle_total(raw).first()
+    assert (r.n_triangles, r.weight_total) == (1, 1)
+
+    # two triangles sharing edge (0,1)x2: 0-1-2 (min 1), 0-1-3 (min 2)
+    raw2 = spark.createDataFrame(
+        [(0, 1)] * 2 + [(1, 2), (0, 2)] + [(1, 3)] * 2 + [(0, 3)] * 3,
+        "src long, dst long",
+    )
+    r2 = weighted_triangle_total(raw2).first()
+    assert (r2.n_triangles, r2.weight_total) == (2, 3)
+
+    # direction-agnostic multiplicity: (0,1) and (1,0) are the same edge
+    raw3 = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (0, 2)], "src long, dst long"
+    )
+    r3 = weighted_triangle_total(raw3).first()
+    assert (r3.n_triangles, r3.weight_total) == (1, 1)

@@ -492,3 +492,32 @@ def link_prediction_ra(
     return cn.join(existing, ["u", "w"], "left_anti").select(
         "u", "w", F.col("common").cast("long").alias("common"), "ra_millionths"
     )
+
+
+def katz_centrality(
+    sym_edges: DataFrame, beta_inv: int = 4, rounds: int = 3
+) -> DataFrame:
+    """Truncated Katz centrality in EXACT integer millionths:
+    katz_m(v) = Σ_{i=1..rounds} walks_i(v) · (1000000 div beta_inv^i),
+    where walks_i = A·walks_{i-1} (exact BIGINT walk counts, walks_0 =
+    1). Each power iteration is one join + one sum-agg keyed on the
+    vertex id — the same shuffle key every round, so the partitioning
+    is reused at scale. Truncation is the deterministic contract (full
+    Katz needs the spectral radius); per-level coefficients are integer
+    divisions, so the score is aggregation-order-proof cross-engine."""
+    r = sym_edges.groupBy(F.col("dst").alias("v")).agg(
+        F.count("*").cast("long").alias("wk")
+    )
+    katz = r.select("v", (F.col("wk") * F.lit(1000000 // beta_inv)).alias("m"))
+    cur = r
+    for i in range(2, rounds + 1):
+        cur = (
+            cur.join(sym_edges.withColumnRenamed("src", "v"), "v")
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.sum("wk").cast("long").alias("wk"))
+            .withColumnRenamed("v2", "v")
+        )
+        katz = katz.unionByName(
+            cur.select("v", (F.col("wk") * F.lit(1000000 // beta_inv**i)).alias("m"))
+        )
+    return katz.groupBy("v").agg(F.sum("m").cast("long").alias("katz_millionths"))

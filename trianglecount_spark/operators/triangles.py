@@ -495,3 +495,43 @@ def triangle_count_kernel(
     df = triangles_per_vertex_kernel(oriented, n_parts, salt_threshold, n_salts)
     row = df.agg(F.sum("tri").alias("t")).collect()[0]
     return int(row["t"] or 0)
+
+
+def weighted_triangle_total(raw_pairs: DataFrame) -> DataFrame:
+    """WEIGHTED triangle count over a raw pair table with repeats:
+    weight(edge) = multiplicity, each triangle contributes
+    min(w_uv, w_vw, w_uw) — bottleneck cohesion. One-row result
+    ``n_triangles, weight_total`` (both BIGINT).
+
+    Same plan as the unweighted join form (orientation prunes the wedge
+    stream to Σ deg+²); the only addition is the exact-integer weight
+    carried on each oriented edge and a LEAST folded at the closure
+    match — no extra shuffle. Reference parity: the reference's
+    edge_weight.cu is weight-free despite its name (SURVEY §2.4); this
+    is the [EXT] weighted semantics a co-occurrence graph wants."""
+    from trianglecount_spark.operators.canonicalize import orient
+
+    e = raw_pairs.where(F.col("src") != F.col("dst"))
+    wsym = (
+        e.select("src", "dst")
+        .unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("wt"))
+    )
+    wor = orient(wsym.select("src", "dst")).join(wsym, ["src", "dst"])
+    e1 = wor.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("wt").alias("w1")
+    )
+    e2 = wor.select(
+        F.col("src").alias("v"), F.col("dst").alias("w"), F.col("wt").alias("w2")
+    )
+    e3 = wor.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("wt").alias("w3")
+    )
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    return tri.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.sum(F.least("w1", "w2", "w3")).cast("long").alias("weight_total"),
+    )

@@ -2501,6 +2501,72 @@ def q_web_pagerank_weighted(spark, sf_dir):
     )
 
 
+def q_web_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the CONTRACTED host graph — the standard
+    crawl-prioritization signal (host-level authority is far cheaper
+    than url-level PR on 10¹² pages: the contracted graph is orders of
+    magnitude smaller and hub-url skew collapses into host weights).
+    Composition of two registered operators: host contraction (one
+    regexp + hash agg) then operators/pagerank.py ``weight=`` with the
+    missing-mass closure — intra-host links dropped at the HOST level
+    so the walk measures cross-host endorsement only."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    hx = "^https?://([^/]+)"
+    wg = (
+        raw.select(
+            F.regexp_extract("src_url", hx, 1).alias("src"),
+            F.regexp_extract("dst_url", hx, 1).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("wt"))
+        .persist()
+    )
+    n = (
+        wg.select(F.col("src").alias("v"))
+        .unionByName(wg.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    ranks, _log = pagerank(wg, tol=0.0, max_iter=10, check_every=10, weight="wt")
+    return ranks.select(
+        F.col("v").alias("host"),
+        F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n"),
+    )
+
+
+def q_triangle_weight_total(spark, sf_dir):
+    """WEIGHTED triangle count: Σ over triangles of min(w_uv, w_vw,
+    w_uw) where w = co-purchase multiplicity — the strength-of-cohesion
+    variant (a heavily-reinforced triangle counts more than an
+    incidental one; min is the standard bottleneck semantics). Same
+    wedge join + closure semi-join as the unweighted count, with each
+    edge's exact-integer weight carried through and the min folded at
+    the match — one extra LEAST over three BIGINTs per triangle, no new
+    shuffle. Orientation still prunes the wedge volume to Σ deg+².
+    operators/triangles.py:weighted_triangle_total."""
+    from trianglecount_spark.operators.triangles import weighted_triangle_total
+
+    return weighted_triangle_total(copurchase_raw(spark, sf_dir))
+
+
+def q_katz_copurchase(spark, sf_dir):
+    """Katz centrality with attenuation β = 1/4 truncated at walk
+    length 3, in EXACT integer millionths: katz_m(v) = Σ_{i=1..3}
+    walks_i(v) · (1000000 div 4^i), where walks_i(v) = number of
+    length-i walks ending at v (r_i = A·r_{i−1}, r_0 = 1 — exact
+    BIGINTs). Each power iteration is one join + one sum-agg keyed on
+    the vertex id (the same shuffle key every round). Truncated-Katz
+    is the standard scalable form — full Katz needs the spectral
+    radius; the truncation IS the deterministic contract here.
+    operators/metrics.py:katz_centrality."""
+    from trianglecount_spark.operators.metrics import katz_centrality
+
+    return katz_centrality(copurchase_sym(spark, sf_dir), beta_inv=4, rounds=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing queries (driver-visible; media derived from documents)
 # ---------------------------------------------------------------------------
@@ -2675,17 +2741,30 @@ def _redirects_sql(k: int = 4) -> str:
     return sql + f" SELECT v AS src, nxt AS final, h AS hops FROM m{k}"
 
 
-def _wpr_sql(k: int = 10, alpha: float = 0.85, digits: int = 4) -> str:
+def _wpr_sql(
+    k: int = 10,
+    alpha: float = 0.85,
+    digits: int = 4,
+    wg_sql: str | None = None,
+    label: str = "url",
+) -> str:
     """Weighted directed PageRank (operators/pagerank.py ``weight=``)
     unrolled over the mined link graph with multiplicity weights —
     identical missing-mass closure as _pagerank_sql, per-edge fraction
-    wt/W_out (exact-integer W_out, one IEEE division per edge)."""
+    wt/W_out (exact-integer W_out, one IEEE division per edge).
+    ``wg_sql`` overrides the weighted-graph CTE body (host PageRank
+    contracts urls to hosts there; default = url-level multiplicity)."""
     ctes = [
-        (
-            "wg AS MATERIALIZED (SELECT src_url AS src, dst_url AS dst, "
-            "CAST(count(*) AS BIGINT) AS wt FROM mined "
-            "WHERE src_url <> dst_url GROUP BY 1, 2)"
-        ),
+        "wg AS MATERIALIZED ("
+        + (
+            wg_sql
+            or (
+                "SELECT src_url AS src, dst_url AS dst, "
+                "CAST(count(*) AS BIGINT) AS wt FROM mined "
+                "WHERE src_url <> dst_url GROUP BY 1, 2"
+            )
+        )
+        + ")",
         "verts AS MATERIALIZED (SELECT src AS v FROM wg UNION SELECT dst FROM wg)",
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
         (
@@ -2708,7 +2787,7 @@ def _wpr_sql(k: int = 10, alpha: float = 0.85, digits: int = 4) -> str:
         _WEB
         + ", "
         + ",\n".join(ctes)
-        + f"\nSELECT v AS url, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
+        + f"\nSELECT v AS {label}, round(rank * (SELECT c FROM nn), {digits}) AS rank_n FROM pr{k}"
     )
 
 
@@ -2775,6 +2854,9 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_counts_copurchase": q_sp_counts_copurchase,
         "stress_copurchase": q_stress_copurchase,
         "link_prediction_ra": q_link_prediction_ra,
+        "katz_copurchase": q_katz_copurchase,
+        "triangle_weight_total": q_triangle_weight_total,
+        "web_host_pagerank": q_web_host_pagerank,
         "orders_priority_exists": q_orders_priority_exists,
         "lineitem_q6_sql": q_lineitem_q6_sql,
         "part_avg_qty_correlated": q_part_avg_qty_correlated,
@@ -3822,6 +3904,43 @@ o AS (
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
         "stress_copurchase": _stress_sql(4, 0),
+        "katz_copurchase": _CP
+        + (
+            ", r1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS wk "
+            "FROM und GROUP BY 1), "
+            "r2 AS (SELECT e.dst AS v, CAST(sum(r.wk) AS BIGINT) AS wk "
+            "FROM r1 r JOIN und e ON e.src = r.v GROUP BY 1), "
+            "r3 AS (SELECT e.dst AS v, CAST(sum(r.wk) AS BIGINT) AS wk "
+            "FROM r2 r JOIN und e ON e.src = r.v GROUP BY 1) "
+            "SELECT v, CAST(sum(m) AS BIGINT) AS katz_millionths FROM ("
+            "SELECT v, wk * 250000 AS m FROM r1 UNION ALL "
+            "SELECT v, wk * 62500 AS m FROM r2 UNION ALL "
+            "SELECT v, wk * 15625 AS m FROM r3) GROUP BY 1"
+        ),
+        "triangle_weight_total": _CP
+        + (
+            ", wsym AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt "
+            "FROM (SELECT src, dst FROM raw WHERE src <> dst UNION ALL "
+            "SELECT dst AS src, src AS dst FROM raw WHERE src <> dst) "
+            "GROUP BY 1, 2), "
+            "wor AS (SELECT o.src, o.dst, w.wt FROM o "
+            "JOIN wsym w ON w.src = o.src AND w.dst = o.dst) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles, "
+            "CAST(sum(least(e1.wt, e2.wt, e3.wt)) AS BIGINT) AS weight_total "
+            "FROM wor e1 JOIN wor e2 ON e1.dst = e2.src "
+            "JOIN wor e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "web_host_pagerank": _wpr_sql(
+            10,
+            wg_sql=(
+                "SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src, "
+                "regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst, "
+                "CAST(count(*) AS BIGINT) AS wt FROM mined "
+                "WHERE regexp_extract(src_url, '^https?://([^/]+)', 1) <> "
+                "regexp_extract(dst_url, '^https?://([^/]+)', 1) GROUP BY 1, 2"
+            ),
+            label="host",
+        ),
         "link_prediction_ra": _CP
         + (
             ", ctr AS (SELECT e.src AS v, e.dst AS u, "
