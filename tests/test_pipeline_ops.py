@@ -290,3 +290,61 @@ def test_cdc_short_text_single_chunk(spark):
     assert by_doc[0] == ["ab"]
     assert 1 not in by_doc
     assert "".join(by_doc[2]) == "abcd efgh ijkl"
+
+
+def test_kmeans_quantized_matches_numpy_lloyd(spark):
+    """Differential test: the full quantize -> md5-seed -> Lloyd round ->
+    assign pipeline recomputed independently in numpy must agree
+    EXACTLY (integer geometry end-to-end)."""
+    import hashlib
+    import math
+
+    from trianglecount_spark.operators.knn import kmeans_quantized
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in kmeans_quantized(df, k=3, rounds=1).collect()
+    }
+
+    # independent numpy replica
+    q = np.zeros((40, 8), dtype=np.int64)
+    for i in range(40):
+        x = vecs[i].astype(np.float64)
+        s = 127.0 / max(np.abs(x).max(), 1e-300)
+        # float32 -> float64 then one scaled round, matching the SQL expr
+        q[i] = np.array([round(v * s) for v in x], dtype=np.int64)
+    seeds = sorted(
+        range(40), key=lambda i: (hashlib.md5(f"km:{i}".encode()).hexdigest(), i)
+    )[:3]
+    cents = [q[i].copy() for i in seeds]
+
+    def assign(c):
+        out = {}
+        for i in range(40):
+            best = min(
+                (int(((q[i] - c[j]) ** 2).sum()), j) for j in range(len(c))
+            )
+            out[i] = best
+        return out
+
+    a1 = assign(cents)
+    new = []
+    for j in range(3):
+        members = [q[i] for i in range(40) if a1[i][1] == j]
+        if members:
+            m = np.stack(members)
+            new.append(
+                np.array(
+                    [math.floor(s / len(members)) for s in m.sum(axis=0)],
+                    dtype=np.int64,
+                )
+            )
+    a2 = assign(new)
+    want = {i: (a2[i][1], a2[i][0]) for i in range(40)}
+    assert got == want

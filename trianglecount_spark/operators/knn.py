@@ -490,3 +490,97 @@ def cosine_topk_quantized(
         partial, schema="q long, nbr long, dot long, sim double"
     )
     return _topk(partials, k)
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> DataFrame:
+    """K-means over int8-QUANTIZED vectors with EXACT integer geometry:
+    ``vec_id, cluster, d2`` after ``rounds`` full Lloyd rounds
+    (assign → integer-centroid update) plus a final assignment.
+
+    Every quantity is deterministic and engine-portable:
+    - seeds = the k vectors with the smallest md5 of a salted id — a
+      seeded sample, no RNG state (k rows collect to the driver; k is a
+      constant, never data-sized);
+    - assignment = argmin of squared L2 distance Σ(x−c)², an exact
+      BIGINT (int8 components, int64 accumulation), ties broken by the
+      smaller centroid id via one struct-min aggregate (never a global
+      window);
+    - centroid update = elementwise floor(sum/count) — floor division
+      agrees across engines for negative sums too (unlike truncating
+      div), so updated centroids are bit-identical and the next
+      assignment stays exactly oracle-checkable.
+
+    Scale shape: centroids are k·dim values — always broadcast; one
+    shuffle per update (groupBy cluster,pos). The per-element zip_with
+    distance is fine for k·dim constant work per row; at extreme dims
+    swap in the numpy-matmul Arrow kernel from cosine_topk_quantized —
+    the plan shape (broadcast probe set, partial argmin) is the same."""
+    spark = df.sparkSession
+    qv = (
+        quantize_int8_vectors(df, id_col, vec_col)
+        .where(F.col("qn2") > 0)
+        .select(F.col(id_col).alias("vid"), F.col("qvec").cast("array<long>").alias("qvec"))
+        .persist()
+    )
+    seeds = (
+        qv.select(
+            "vid",
+            "qvec",
+            F.md5(F.concat(F.lit(salt + ":"), F.col("vid").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(k)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(i, [int(x) for x in row["qvec"]]) for i, row in enumerate(seeds)],
+        "cid long, cvec array<long>",
+    )
+
+    d2 = F.expr(
+        "aggregate(zip_with(qvec, cvec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = qv.crossJoin(F.broadcast(centroids)).select(
+            "vid", "cid", d2.alias("d2")
+        )
+        best = scored.groupBy("vid").agg(F.min(F.struct("d2", "cid")).alias("b"))
+        return best.select(
+            "vid", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2")
+        )
+
+    for _ in range(rounds):
+        a = assign(cents)
+        upd = (
+            a.join(qv, "vid")
+            .select("cid", F.posexplode("qvec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.floor(F.sum("val") * F.lit(1.0) / F.count("*"))
+                .cast("long")
+                .alias("cval")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cval))), "
+                    "s -> s.cval)"
+                ).alias("cvec")
+            )
+        )
+        cents = upd
+    final = assign(cents)
+    return final.select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("d2").alias("d2"),
+    )

@@ -2501,6 +2501,20 @@ def q_web_pagerank_weighted(spark, sf_dir):
     )
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Integer k-means over int8-quantized embeddings: one full Lloyd
+    round (assign → floor-integer centroid update) + final assignment,
+    k = 8 md5-seeded centroids — every distance an exact BIGINT, every
+    updated centroid bit-identical cross-engine (floor division agrees
+    on negative sums, unlike truncating div).
+    operators/knn.py:kmeans_quantized."""
+    from trianglecount_spark.operators.knn import kmeans_quantized
+
+    return kmeans_quantized(
+        _t(spark, sf_dir, "embeddings"), k=8, rounds=1
+    )
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """Weighted PageRank over the CONTRACTED host graph — the standard
     crawl-prioritization signal (host-level authority is far cheaper
@@ -2695,6 +2709,54 @@ def _qknn_sql(qfilter: str = "a.vec_id < 20") -> str:
 _QKNN = _qknn_sql()
 
 
+def _kmeans_sql(k: int = 8, rounds: int = 1, dim: int = 64, salt: str = "km") -> str:
+    """Oracle for emb_kmeans: the same quantization CTEs as _qknn_sql,
+    md5-ordered seed selection, then each Lloyd round unrolled —
+    exact-BIGINT squared-L2 assignment (ties to the smaller cid) and
+    positional floor(sum/count) centroid update over generate_series
+    (the synthetic embeddings are ``dim``-wide)."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(q.qvec, c.cvec), "
+        "p -> (CAST(p[1] AS BIGINT) - p[2]) * (CAST(p[1] AS BIGINT) - p[2])))"
+        " AS BIGINT)"
+    )
+    sql = (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / greatest("
+        "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), "
+        "1e-300))) AS INT)) AS qvec FROM embeddings), "
+        "n AS (SELECT vec_id, qvec, CAST(list_sum(list_transform(qvec, "
+        "x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qn2 FROM e), "
+        "nq AS (SELECT vec_id, qvec FROM n WHERE qn2 > 0), "
+        f"sd AS (SELECT vec_id, qvec, md5('{salt}:' || vec_id) AS h FROM nq), "
+        "c0 AS (SELECT cid, list_transform(cvec, x -> CAST(x AS BIGINT)) "
+        "AS cvec FROM (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 "
+        f"AS cid, qvec AS cvec FROM sd) WHERE cid < {k})"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f", s{r} AS (SELECT q.vec_id AS vid, c.cid, {d2} AS d2 "
+            f"FROM nq q CROSS JOIN c{r - 1} c)"
+            f", m{r} AS (SELECT vid, cid FROM (SELECT vid, cid, "
+            f"row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rk "
+            f"FROM s{r}) WHERE rk = 1)"
+            f", u{r} AS (SELECT m.cid, t.i, CAST(floor(sum(q.qvec[t.i]) "
+            f"* 1.0 / count(*)) AS BIGINT) AS cval FROM m{r} m "
+            f"JOIN nq q ON q.vec_id = m.vid "
+            f"CROSS JOIN generate_series(1, {dim}) t(i) GROUP BY 1, 2)"
+            f", c{r} AS (SELECT cid, list(cval ORDER BY i) AS cvec "
+            f"FROM u{r} GROUP BY 1)"
+        )
+    f = rounds
+    return sql + (
+        f", sf AS (SELECT q.vec_id AS vid, c.cid, {d2} AS d2 "
+        f"FROM nq q CROSS JOIN c{f} c) "
+        "SELECT vid AS vec_id, cid AS cluster, d2 FROM ("
+        "SELECT vid, cid, d2, row_number() OVER (PARTITION BY vid "
+        "ORDER BY d2, cid) AS rk FROM sf) WHERE rk = 1"
+    )
+
+
 def _label_spreading_sql(rounds: int = 3) -> str:
     """Oracle for emb_label_spreading: the full quantized top-5 graph
     (probe filter TRUE), symmetrized, then ``rounds`` synchronous
@@ -2857,6 +2919,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_copurchase": q_katz_copurchase,
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
+        "emb_kmeans": q_emb_kmeans,
         "orders_priority_exists": q_orders_priority_exists,
         "lineitem_q6_sql": q_lineitem_q6_sql,
         "part_avg_qty_correlated": q_part_avg_qty_correlated,
@@ -4651,6 +4714,7 @@ o AS (
         # identical int8 quantization (one scale division, one product,
         # one half-away round per element), exact BIGINT dots, and a
         # 3-IEEE-op similarity — bit-stable ranking on both engines
+        "emb_kmeans": _kmeans_sql(8, 1, 64),
         "emb_knn_quantized": _QKNN
         + " SELECT q, nbr, dot, round(sim, 6) AS sim FROM r WHERE rk <= 5",
         # widen to top-25 on the same bit-stable quantized scan, then
