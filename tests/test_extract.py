@@ -120,3 +120,30 @@ def test_extract_links_text_pairs(spark):
         ("https://x.example/abs", "Absolute Link"): 1,
         ("https://host.example/rel", "rel text"): 1,
     }
+
+
+def test_remove_boilerplate_lines(spark):
+    from trianglecount_spark.functions.extract import remove_boilerplate_lines
+
+    def page(url, *lines):
+        return (url, "\n".join(lines).encode("utf-8"))
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.example/1", "unique one", "FOOTER", "nav"),
+            page("https://a.example/2", "unique two", "FOOTER", "nav"),
+            page("https://a.example/3", "unique three", "FOOTER"),
+            page("https://a.example/4", "unique four", "extra"),
+            # single-page host: nothing is boilerplate by definition
+            page("https://b.example/1", "solo", "FOOTER"),
+        ],
+        "url string, html binary",
+    )
+    got = {r.url: r for r in remove_boilerplate_lines(pages).collect()}
+    # FOOTER on 3/4 of host a (>1/2) -> dropped; nav on 2/4 (=1/2) -> kept
+    assert got["https://a.example/1"].clean_text == "unique one\nnav"
+    assert got["https://a.example/2"].clean_text == "unique two\nnav"
+    assert got["https://a.example/3"].clean_text == "unique three"
+    assert (got["https://a.example/1"].n_lines, got["https://a.example/1"].n_kept) == (3, 2)
+    # single-page host keeps everything
+    assert got["https://b.example/1"].clean_text == "solo\nFOOTER"

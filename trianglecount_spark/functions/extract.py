@@ -164,3 +164,62 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
         .select("src", "dst")
     )
     return e, vertices
+
+
+def remove_boilerplate_lines(pages: DataFrame, min_pages: int = 2) -> DataFrame:
+    """Line-frequency boilerplate removal (the CCNet/C4 preprocessing
+    step): split each page's html into lines, compute each line's
+    document frequency WITHIN ITS HOST, and drop lines appearing on
+    more than half the host's pages (nav bars, footers, template
+    chrome — shared across a site but meaningless per page). Output
+    ``url, n_lines, n_kept, clean_text``.
+
+    Scale shape: one posexplode (JVM, no Python), one (host, line)
+    hash agg for the df table and one (host) agg for page counts —
+    both shuffle on the host-prefixed key, so a site's lines colocate;
+    per-host skew is bounded because a single host's line vocabulary
+    is tiny relative to the corpus. The keep test is exact integer
+    arithmetic (2·df <= n_pages) and line order is restored with an
+    array_sort over (pos, line) structs — never a global window."""
+    txt = pages.select("url", F.decode(F.col("html"), "utf-8").alias("h"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    lines = txt.select(
+        "url",
+        host.alias("host"),
+        F.posexplode(F.split("h", "\n")).alias("pos", "line"),
+    )
+    per_host = (
+        lines.select("host", "url")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    ldf = (
+        lines.select("host", "line", "url")
+        .distinct()
+        .groupBy("host", "line")
+        .agg(F.count("*").alias("df"))
+    )
+    tot = lines.groupBy("url").agg(F.count("*").cast("long").alias("n_lines"))
+    kept = (
+        lines.join(ldf, ["host", "line"])
+        .join(per_host, "host")
+        .where(
+            (F.col("df") * 2 <= F.col("n_pages"))
+            | (F.col("n_pages") < F.lit(min_pages))
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.expr(
+                "concat_ws('\n', transform(array_sort(collect_list("
+                "struct(pos, line))), s -> s.line))"
+            ).alias("clean_text"),
+        )
+    )
+    return tot.join(kept, "url", "left").select(
+        "url",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

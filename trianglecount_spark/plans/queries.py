@@ -2515,6 +2515,57 @@ def q_emb_kmeans(spark, sf_dir):
     )
 
 
+def q_docs_vocab_prune(spark, sf_dir):
+    """IDF-based vocabulary pruning — the preprocessing twin of
+    stopword removal for LM training corpora: tokens present in more
+    than 40%% of documents carry no signal and are dropped from every
+    document (exact integer test df·5 > n_docs·2); everything else is
+    kept in original position order. Output ``doc_id, n_tokens,
+    n_kept, pruned_text``. Shape: one posexplode, one token-keyed df
+    agg (broadcastable — a vocabulary is small relative to the corpus),
+    one struct-sorted per-doc rebuild — no window, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    n_docs = d.count()
+    tdf = (
+        toks.select("tok", "doc_id")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    tot = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    kept = (
+        toks.join(tdf, "tok")
+        .where(F.col("df") * 5 <= F.lit(int(n_docs)) * 2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(pos, tok))), s -> s.tok))"
+            ).alias("pruned_text"),
+        )
+    )
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
+    )
+
+
+def q_web_boilerplate(spark, sf_dir):
+    """Line-frequency boilerplate removal per host (the CCNet/C4
+    preprocessing step): drop lines on more than half the host's pages
+    (template chrome), keep page-specific content in original order.
+    functions/extract.py:remove_boilerplate_lines."""
+    from trianglecount_spark.functions.extract import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(web_pages_from_documents(spark, sf_dir))
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """Weighted PageRank over the CONTRACTED host graph — the standard
     crawl-prioritization signal (host-level authority is far cheaper
@@ -2919,6 +2970,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_copurchase": q_katz_copurchase,
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
+        "web_boilerplate": q_web_boilerplate,
+        "docs_vocab_prune": q_docs_vocab_prune,
         "emb_kmeans": q_emb_kmeans,
         "orders_priority_exists": q_orders_priority_exists,
         "lineitem_q6_sql": q_lineitem_q6_sql,
@@ -3992,6 +4045,48 @@ o AS (
             "CAST(sum(least(e1.wt, e2.wt, e3.wt)) AS BIGINT) AS weight_total "
             "FROM wor e1 JOIN wor e2 ON e1.dst = e2.src "
             "JOIN wor e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        "docs_vocab_prune": (
+            "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS lv "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, t.i AS pos, lv[t.i] AS tok FROM tk "
+            "CROSS JOIN generate_series(1, 128) t(i) WHERE t.i <= len(lv)), "
+            "nd AS (SELECT count(*) AS n FROM documents), "
+            "tdf AS (SELECT tok, count(DISTINCT doc_id) AS df "
+            "FROM toks GROUP BY 1), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM toks GROUP BY 1), "
+            "kept AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(t.tok, ' ' ORDER BY t.pos) AS pruned_text "
+            "FROM toks t JOIN tdf d ON d.tok = t.tok "
+            "WHERE d.df * 5 <= (SELECT n FROM nd) * 2 GROUP BY 1) "
+            "SELECT t.doc_id, t.n_tokens, COALESCE(k.n_kept, 0) AS n_kept, "
+            "COALESCE(k.pruned_text, '') AS pruned_text "
+            "FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id"
+        ),
+        "web_boilerplate": _WEB
+        + (
+            ", ls AS (SELECT url, string_split(html, chr(10)) AS lv FROM pg), "
+            # constant series bound (DuckDB generate_series is not
+            # lateral); the synthetic html has 6 lines, 32 is headroom
+            "lines AS (SELECT url, "
+            "regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            "t.i AS pos, lv[t.i] AS line FROM ls "
+            "CROSS JOIN generate_series(1, 32) t(i) WHERE t.i <= len(lv)), "
+            "ph AS (SELECT host, count(DISTINCT url) AS n_pages "
+            "FROM lines GROUP BY 1), "
+            "ldf AS (SELECT host, line, count(DISTINCT url) AS df "
+            "FROM lines GROUP BY 1, 2), "
+            "tot AS (SELECT url, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lines GROUP BY 1), "
+            "kept AS (SELECT l.url, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text "
+            "FROM lines l JOIN ldf d ON d.host = l.host AND d.line = l.line "
+            "JOIN ph p ON p.host = l.host "
+            "WHERE d.df * 2 <= p.n_pages OR p.n_pages < 2 GROUP BY 1) "
+            "SELECT t.url, t.n_lines, COALESCE(k.n_kept, 0) AS n_kept, "
+            "COALESCE(k.clean_text, '') AS clean_text "
+            "FROM tot t LEFT JOIN kept k ON k.url = t.url"
         ),
         "web_host_pagerank": _wpr_sql(
             10,
