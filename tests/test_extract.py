@@ -147,3 +147,33 @@ def test_remove_boilerplate_lines(spark):
     assert (got["https://a.example/1"].n_lines, got["https://a.example/1"].n_kept) == (3, 2)
     # single-page host keeps everything
     assert got["https://b.example/1"].clean_text == "solo\nFOOTER"
+
+
+def test_bpe_merges_golden(spark):
+    from trianglecount_spark.functions.bpe import bpe_merges
+
+    # low x3, lower, lowest: round 1 ties (l,o)=(o,w)=5 -> lexicographic
+    # picks (l,o); round 2 merges (lo,w)=5
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.step, r.left_sym, r.right_sym, r.merged, r.n_occurrences)
+        for r in bpe_merges(docs, rounds=2).collect()
+    )
+    assert rows == [(1, "l", "o", "lo", 5), (2, "lo", "w", "low", 5)]
+
+
+def test_bpe_skips_self_pairs_and_stops_when_dry(spark):
+    from trianglecount_spark.functions.bpe import bpe_merges
+
+    # (a,a) has count 15 but is a self-pair; (x,y)=2 wins. After that
+    # merge only self-pairs remain -> the learner stops at 1 row.
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa aaaa aaaa xy xy")], "doc_id long, text string"
+    )
+    rows = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.n_occurrences)
+        for r in bpe_merges(docs, rounds=3).collect()
+    ]
+    assert rows == [(1, "x", "y", "xy", 2)]

@@ -2515,6 +2515,18 @@ def q_emb_kmeans(spark, sf_dir):
     )
 
 
+def q_docs_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (2 merge rounds) over the
+    document corpus — pair stats on the word-frequency table, exact
+    BIGINT occurrence counts, non-self-pair variant so greedy merging
+    is pure set logic (functions/bpe.py). The oracle replays both
+    rounds: pair formation, argmax selection, merge application with
+    position renumbering."""
+    from trianglecount_spark.functions.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=2)
+
+
 def q_docs_vocab_prune(spark, sf_dir):
     """IDF-based vocabulary pruning — the preprocessing twin of
     stopword removal for LM training corpora: tokens present in more
@@ -2760,6 +2772,45 @@ def _qknn_sql(qfilter: str = "a.vec_id < 20") -> str:
 _QKNN = _qknn_sql()
 
 
+def _bpe_sql(rounds: int = 2) -> str:
+    """Oracle for docs_bpe_merges: both BPE rounds unrolled — word
+    frequency table, char explode (constant series bound; synthetic
+    words are short), per-round pair counts + argmax + merge rewrite
+    with per-word renumbering. Non-self-pair variant ⇒ matches never
+    overlap ⇒ the rewrite is exact set logic (functions/bpe.py)."""
+    sql = (
+        "WITH wds AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE len(w) > 0 GROUP BY 1), "
+        "t1 AS (SELECT w, wn, t.i AS pos, substr(w, t.i, 1) AS tok "
+        "FROM wds CROSS JOIN generate_series(1, 32) t(i) WHERE t.i <= len(w))"
+    )
+    for r in range(1, rounds + 1):
+        sql += (
+            f", p{r} AS (SELECT a.w, a.wn, a.pos, a.tok AS ta, b.tok AS tb "
+            f"FROM t{r} a JOIN t{r} b ON b.w = a.w AND b.pos = a.pos + 1)"
+            f", b{r} AS (SELECT ta, tb, CAST(sum(wn) AS BIGINT) AS c "
+            f"FROM p{r} WHERE ta <> tb GROUP BY 1, 2 "
+            f"ORDER BY c DESC, ta ASC, tb ASC LIMIT 1)"
+            f", m{r} AS (SELECT p.w, p.pos FROM p{r} p, b{r} x "
+            f"WHERE p.ta = x.ta AND p.tb = x.tb)"
+            f", r{r} AS (SELECT t.w, t.wn, t.pos, "
+            f"CASE WHEN m.pos IS NOT NULL THEN (SELECT ta || tb FROM b{r}) "
+            f"ELSE t.tok END AS tok "
+            f"FROM t{r} t LEFT JOIN m{r} m ON m.w = t.w AND m.pos = t.pos "
+            f"WHERE NOT EXISTS (SELECT 1 FROM m{r} x WHERE x.w = t.w "
+            f"AND x.pos = t.pos - 1))"
+            f", t{r + 1} AS MATERIALIZED (SELECT w, wn, row_number() OVER "
+            f"(PARTITION BY w ORDER BY pos) AS pos, tok FROM r{r})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, ta AS left_sym, tb AS right_sym, "
+        f"ta || tb AS merged, c AS n_occurrences FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql + " " + selects
+
+
 def _kmeans_sql(k: int = 8, rounds: int = 1, dim: int = 64, salt: str = "km") -> str:
     """Oracle for emb_kmeans: the same quantization CTEs as _qknn_sql,
     md5-ordered seed selection, then each Lloyd round unrolled —
@@ -2972,6 +3023,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_pagerank": q_web_host_pagerank,
         "web_boilerplate": q_web_boilerplate,
         "docs_vocab_prune": q_docs_vocab_prune,
+        "docs_bpe_merges": q_docs_bpe_merges,
         "emb_kmeans": q_emb_kmeans,
         "orders_priority_exists": q_orders_priority_exists,
         "lineitem_q6_sql": q_lineitem_q6_sql,
@@ -4046,6 +4098,7 @@ o AS (
             "FROM wor e1 JOIN wor e2 ON e1.dst = e2.src "
             "JOIN wor e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
+        "docs_bpe_merges": _bpe_sql(2),
         "docs_vocab_prune": (
             "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS lv "
             "FROM documents), "
