@@ -1211,6 +1211,58 @@ def q_region_nation_volume(spark, sf_dir):
     )
 
 
+def q_orders_rolling_30d(spark, sf_dir):
+    """RANGE-frame window (the time-interval frame, complementing
+    events_rolling_avg's ROWS frame): per customer, each order's
+    trailing-30-day revenue — orders within [ts−30d, ts] by VALUE
+    range, however many rows that is. Spark expresses the interval
+    frame as rangeBetween over unix microseconds (equivalent by
+    definition: RANGE on a monotone key transform); revenue is exact
+    integer cents so the frame sum is order-independent. Window is
+    customer-partitioned — never global."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    mu = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(mu)
+        .rangeBetween(-30 * 86400 * 1000000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents).over(w).cast("long").alias("rev30d_cents"),
+    )
+
+
+def q_part_set_ops(spark, sf_dir):
+    """Table-level set operators (the INTERSECT / EXCEPT surface the
+    reference lacks entirely, SURVEY §2.5): part keys partitioned into
+    sold (part ∩ lineitem) and shelf-only (part ∖ lineitem), plus
+    phantom fact keys (lineitem ∖ part). Spark compiles INTERSECT /
+    EXCEPT to left-semi / left-anti hash joins over distinct inputs —
+    the same one-shuffle plan a hand-written anti-join gets."""
+    pk = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    lk = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    sold = pk.intersect(lk)
+    shelf = pk.exceptAll(sold).distinct()
+    phantom = lk.distinct().exceptAll(pk.distinct())
+    return (
+        sold.agg(F.count("*").cast("long").alias("n"))
+        .select(F.lit("sold").alias("cls"), "n")
+        .unionByName(
+            shelf.agg(F.count("*").cast("long").alias("n")).select(
+                F.lit("shelf_only").alias("cls"), "n"
+            )
+        )
+        .unionByName(
+            phantom.agg(F.count("*").cast("long").alias("n")).select(
+                F.lit("phantom").alias("cls"), "n"
+            )
+        )
+    )
+
+
 def q_orders_priority_exists(spark, sf_dir):
     """TPC-H Q4 shape — order priority checking: count orders per
     priority in a half-year window having AT LEAST ONE late shipment
@@ -3028,6 +3080,8 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_exists": q_orders_priority_exists,
         "lineitem_q6_sql": q_lineitem_q6_sql,
         "part_avg_qty_correlated": q_part_avg_qty_correlated,
+        "orders_rolling_30d": q_orders_rolling_30d,
+        "part_set_ops": q_part_set_ops,
         "triangle_list_sample": q_triangle_list_sample,
         "docs_quality_deciles": q_docs_quality_deciles,
         "modularity_lpa": q_modularity_lpa,
@@ -4165,6 +4219,24 @@ o AS (
             "ra_millionths FROM cn "
             "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
             "WHERE e.src IS NULL"
+        ),
+        "orders_rolling_30d": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+            "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS rev30d_cents FROM orders"
+        ),
+        "part_set_ops": (
+            "SELECT 'sold' AS cls, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT p_partkey FROM part "
+            "INTERSECT SELECT l_partkey FROM lineitem) "
+            "UNION ALL SELECT 'shelf_only', CAST(count(*) AS BIGINT) FROM "
+            "(SELECT p_partkey FROM part "
+            "EXCEPT SELECT l_partkey FROM lineitem) "
+            "UNION ALL SELECT 'phantom', CAST(count(*) AS BIGINT) FROM "
+            "(SELECT l_partkey FROM lineitem "
+            "EXCEPT SELECT p_partkey FROM part)"
         ),
         "lineitem_q6_sql": (
             "SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 "
