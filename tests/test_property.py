@@ -73,3 +73,84 @@ def test_random_graph_primitive_invariants(spark, seed, n, p):
 
     colors = {r.v: r.color for r in luby_coloring(sym, n_colors=10, mis_rounds=8).collect()}
     assert not any(colors.get(a) == colors.get(b) for a, b in edges if a in colors and b in colors)
+
+
+@pytest.mark.parametrize("seed,n,p", [(11, 24, 0.18), (12, 30, 0.12)])
+def test_stress_centrality_matches_bruteforce(spark, seed, n, p):
+    """stress = sigma·tau must equal a brute-force numpy count of
+    shortest s->t paths passing through each vertex."""
+    from trianglecount_spark.operators.canonicalize import canonicalize_edges
+    from trianglecount_spark.operators.metrics import stress_centrality
+
+    rng = np.random.RandomState(seed)
+    pairs = [
+        (i, j) for i in range(n) for j in range(i + 1, n) if rng.rand() < p
+    ]
+    if not pairs:
+        pytest.skip("empty graph")
+    sym = canonicalize_edges(spark.createDataFrame(pairs, "src long, dst long"))
+    rounds = 6
+    got = {
+        r.v: (r.dist, r.sigma, r.n_paths_through)
+        for r in stress_centrality(sym, source=0, rounds=rounds).collect()
+    }
+
+    # numpy brute force: BFS levels + DAG path DP from source 0
+    adj = {i: set() for i in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {0: 0}
+    frontier = [0]
+    for d in range(1, rounds + 1):
+        nxt = sorted(
+            {w for v in frontier for w in adj[v] if w not in dist}
+        )
+        for w in nxt:
+            dist[w] = d
+        frontier = nxt
+    sigma = {0: 1}
+    for d in range(1, rounds + 1):
+        for v in [x for x in dist if dist[x] == d]:
+            sigma[v] = sum(
+                sigma[u] for u in adj[v] if dist.get(u, -2) == d - 1
+            )
+    tau = {}
+    for d in range(rounds, -1, -1):
+        for v in [x for x in dist if dist[x] == d]:
+            succ = [w for w in adj[v] if dist.get(w, -2) == d + 1]
+            tau[v] = sum(1 + tau[w] for w in succ)
+    want = {v: (dist[v], sigma[v], sigma[v] * tau[v]) for v in dist}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,n,p", [(21, 22, 0.25)])
+def test_link_prediction_ra_matches_bruteforce(spark, seed, n, p):
+    from trianglecount_spark.operators.canonicalize import canonicalize_edges
+    from trianglecount_spark.operators.metrics import link_prediction_ra
+
+    rng = np.random.RandomState(seed)
+    pairs = [
+        (i, j) for i in range(n) for j in range(i + 1, n) if rng.rand() < p
+    ]
+    sym = canonicalize_edges(spark.createDataFrame(pairs, "src long, dst long"))
+    got = {
+        (r.u, r.w): (r.common, r.ra_millionths)
+        for r in link_prediction_ra(sym, min_common=1).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    want = {}
+    for u in adj:
+        for w in adj:
+            if u < w and (u, w) not in edges:
+                cn = adj[u] & adj[w]
+                if cn:
+                    want[(u, w)] = (
+                        len(cn),
+                        sum(1000000 // len(adj[v]) for v in cn),
+                    )
+    assert got == want
