@@ -239,3 +239,39 @@ def test_sliding_windows_match_batch_closed_form(spark):
     assert batch.exceptAll(got).count() == 0
     # sliding: total window memberships = 2x the emitted-range events
     assert got.count() > 0
+
+
+def test_streamed_upsert_state_batching_independent(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    from trianglecount_spark.streaming.edges_stream import streamed_upsert_state
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    batches = [
+        [ev(1, 0, 1, "view"), ev(2, 5, 2, "click")],
+        [ev(3, 10, 1, "purchase")],
+        [ev(4, 3, 2, "view"), ev(5, 20, 1, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(str(tmp_path / f"up{i}.parquet"), index=False)
+    got = {
+        r.user_id: (r.last_event_id, r.last_type, r.n_events)
+        for r in streamed_upsert_state(
+            spark, str(tmp_path), glob="up*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    # user 1: latest is event 5 (t=20), 3 events; user 2: event 2
+    # (t=5; event 4 is EARLIER and arrives in a later batch — the merge
+    # must not overwrite newer state with older data)
+    assert got == {1: (5, "click", 3), 2: (2, "click", 2)}

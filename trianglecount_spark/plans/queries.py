@@ -1457,6 +1457,17 @@ def q_events_stream_alarms(spark, sf_dir):
     return spend_alarms(spark, sf_dir, threshold_cents=5000)
 
 
+def q_events_stream_upsert(spark, sf_dir):
+    """foreachBatch keyed upsert (streaming MERGE pattern): per-user
+    latest event + running count folded into a parquet state snapshot
+    per micro-batch; associative/commutative merge ⇒ batching-
+    independent final state = the closed-form latest-row-per-key query.
+    [EXT] streaming/edges_stream.py:streamed_upsert_state."""
+    from trianglecount_spark.streaming.edges_stream import streamed_upsert_state
+
+    return streamed_upsert_state(spark, sf_dir)
+
+
 def q_events_cohort_retention(spark, sf_dir):
     """Weekly cohort retention matrix: users grouped by first-activity
     week, counted distinct per weeks-since-cohort — the standard
@@ -3101,6 +3112,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": q_events_stream_sessions,
         "events_stream_sliding": q_events_stream_sliding,
         "events_stream_alarms": q_events_stream_alarms,
+        "events_stream_upsert": q_events_stream_upsert,
         "events_stream_dedup": q_events_stream_dedup,
         "events_stream_attribution": q_events_stream_attribution,
         "clustering_coeff": q_clustering_coeff,
@@ -4450,6 +4462,17 @@ o AS (
             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS value_cents FROM c GROUP BY 1, 2 "
             "HAVING win_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)"
+        ),
+        "events_stream_upsert": (
+            # closed form of the foreachBatch fold: latest event per
+            # user by (ts, event_id) + total count
+            "WITH r AS (SELECT user_id, event_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rk, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM events) "
+            "SELECT user_id, event_id AS last_event_id, "
+            "event_type AS last_type, CAST(n AS BIGINT) AS n_events "
+            "FROM r WHERE rk = 1"
         ),
         "events_stream_alarms": (
             # batch closed form of the GroupState operator: running

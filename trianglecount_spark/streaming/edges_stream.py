@@ -328,6 +328,111 @@ def streamed_dedup_keys(
     return spark.read.schema(DEDUP_KEYS_SCHEMA).parquet(out).distinct()
 
 
+UPSERT_STATE_SCHEMA = (
+    "user_id long, last_event_id long, last_type string, n_events long"
+)
+
+
+def streamed_upsert_state(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """[EXT] ``foreachBatch`` keyed-upsert sink — the
+    merge-into-a-keyed-table pattern Structured Streaming itself has no
+    operator for (real deployments MERGE into Delta/Iceberg; here the
+    same algebra against parquet): per user keep the LATEST event (max
+    (ts, event_id)) and a running event count, merged batch-by-batch.
+
+    The merge is associative and commutative (max over a total order;
+    sum for the count), so the final state is independent of how the
+    stream is micro-batched — that is the determinism contract, and the
+    DuckDB oracle is the closed-form latest-row-per-key query. Each
+    foreachBatch call folds the batch into the state dir atomically
+    (write new snapshot, then swap) — idempotent against replays of the
+    same data because the fold recomputes from the union rather than
+    appending blindly."""
+    import shutil
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="tc_upsert_state_")
+    ckpt = tempfile.mkdtemp(prefix="tc_upsert_ckpt_")
+    cur = f"{state_dir}/cur"
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(sf_dir)
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        delta = batch.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("m"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        try:
+            prev = s.read.schema(
+                "user_id long, ts timestamp, event_id long, "
+                "event_type string, n_events long"
+            ).parquet(cur)
+        except Exception:
+            prev = s.createDataFrame(
+                [],
+                "user_id long, ts timestamp, event_id long, "
+                "event_type string, n_events long",
+            )
+        merged = (
+            delta.select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("event_type"),
+                "n_events",
+            )
+            .unionByName(prev)
+            .groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts", "event_id", "event_type")).alias("m"),
+                F.sum("n_events").cast("long").alias("n_events"),
+            )
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("event_type"),
+                "n_events",
+            )
+        )
+        nxt = f"{state_dir}/b{batch_id}"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(cur, ignore_errors=True)
+        shutil.move(nxt, cur)
+
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, n_events long"
+        )
+        .parquet(cur)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            "n_events",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available, then stop — the testable and
     resumable incremental-batch mode."""
