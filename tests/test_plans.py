@@ -220,3 +220,16 @@ def test_q17_correlated_is_one_agg_plus_join(spark):
     # never a per-row subquery (no nested-loop/cartesian anywhere)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final of the per-part agg
+
+
+def test_crawl_budget_sums_exactly(spark):
+    from trianglecount_spark.plans.queries import q_web_crawl_budget
+
+    rows = q_web_crawl_budget(spark, SF).collect()
+    # largest-remainder apportionment: hits the budget EXACTLY and is
+    # monotone-ish (base floor never exceeds the proportional share)
+    assert sum(r.budget for r in rows) == 10000
+    assert all(r.budget >= 0 for r in rows)
+    total_w = sum(r.wt for r in rows)
+    for r in rows:
+        assert abs(r.budget - 10000 * r.wt / total_w) < 1 + 1e-9

@@ -2631,6 +2631,51 @@ def q_docs_vocab_prune(spark, sf_dir):
     )
 
 
+def q_web_crawl_budget(spark, sf_dir):
+    """Crawl-budget apportionment: split a fixed fetch budget (10000)
+    across hosts proportionally to their inbound-link counts by the
+    LARGEST-REMAINDER method (Hamilton apportionment) — the standard
+    exact-integer way to turn weights into a budget that sums exactly
+    to B: base_i = floor(B·w_i / W), then the B − Σ base leftover slots
+    go to the largest remainders (B·w_i mod W), ties to the smaller
+    host name. All arithmetic is BIGINT (products ≤ B·W ≪ 2^63); the
+    only window is a rank over the HOSTS table (tiny by construction —
+    hosts, not pages), so nothing here is a scale hazard."""
+    from trianglecount_spark.functions.extract import extract_links
+
+    budget = 10000
+    raw = extract_links(web_pages_from_documents(spark, sf_dir))
+    hx = "^https?://([^/]+)"
+    w = (
+        raw.groupBy(F.regexp_extract("dst_url", hx, 1).alias("host"))
+        .agg(F.count("*").cast("long").alias("wt"))
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("W"))
+    scored = w.crossJoin(tot).select(
+        "host",
+        "wt",
+        F.expr(f"CAST(({budget} * wt) div W AS BIGINT)").alias("base"),
+        F.expr(f"CAST(({budget} * wt) % W AS BIGINT)").alias("rem"),
+    )
+    leftover = scored.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("slots")
+    )
+    ranked = scored.crossJoin(leftover).select(
+        "host",
+        "wt",
+        "base",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("host").asc())
+            )
+            <= F.col("slots")
+        ).cast("long").alias("extra"),
+    )
+    return ranked.select(
+        "host", "wt", (F.col("base") + F.col("extra")).cast("long").alias("budget")
+    )
+
+
 def q_web_boilerplate(spark, sf_dir):
     """Line-frequency boilerplate removal per host (the CCNet/C4
     preprocessing step): drop lines on more than half the host's pages
@@ -3085,6 +3130,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
         "web_boilerplate": q_web_boilerplate,
+        "web_crawl_budget": q_web_crawl_budget,
         "docs_vocab_prune": q_docs_vocab_prune,
         "docs_bpe_merges": q_docs_bpe_merges,
         "emb_kmeans": q_emb_kmeans,
@@ -4182,6 +4228,21 @@ o AS (
             "SELECT t.doc_id, t.n_tokens, COALESCE(k.n_kept, 0) AS n_kept, "
             "COALESCE(k.pruned_text, '') AS pruned_text "
             "FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id"
+        ),
+        "web_crawl_budget": _WEB
+        + (
+            ", w AS (SELECT regexp_extract(dst_url, '^https?://([^/]+)', 1) "
+            "AS host, CAST(count(*) AS BIGINT) AS wt FROM mined GROUP BY 1), "
+            "tt AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w), "
+            "s AS (SELECT host, wt, "
+            "CAST((10000 * wt) // W AS BIGINT) AS base, "
+            "CAST((10000 * wt) % W AS BIGINT) AS rem FROM w, tt), "
+            "lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS slots FROM s), "
+            "r AS (SELECT host, wt, base, CAST(CASE WHEN "
+            "row_number() OVER (ORDER BY rem DESC, host ASC) <= "
+            "(SELECT slots FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS extra "
+            "FROM s) "
+            "SELECT host, wt, CAST(base + extra AS BIGINT) AS budget FROM r"
         ),
         "web_boilerplate": _WEB
         + (
