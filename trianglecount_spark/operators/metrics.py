@@ -465,7 +465,10 @@ def link_prediction_ra(
     anti-join against the edge set. The center's degree joins BEFORE
     the wedge expansion (a broadcast-sized (v, deg) table at any
     scale ≪ the wedge stream), so each wedge row already carries its
-    millionths contribution into the partial aggregate."""
+    millionths contribution into the partial aggregate. The wedge
+    stream itself is Σ C(d,2) regardless of ``min_common`` — the same
+    scale caveat (and the same mitigations: hub caps / DOULION
+    sampling / candidate prefilter) as ``link_prediction_jaccard``."""
     deg = degrees(sym_edges)
     centered = sym_edges.join(
         deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "cdeg"),

@@ -497,7 +497,9 @@ def triangle_count_kernel(
     return int(row["t"] or 0)
 
 
-def weighted_triangle_total(raw_pairs: DataFrame) -> DataFrame:
+def weighted_triangle_total(
+    raw_pairs: DataFrame, closure: str = "auto"
+) -> DataFrame:
     """WEIGHTED triangle count over a raw pair table with repeats:
     weight(edge) = multiplicity, each triangle contributes
     min(w_uv, w_vw, w_uw) — bottleneck cohesion. One-row result
@@ -506,7 +508,10 @@ def weighted_triangle_total(raw_pairs: DataFrame) -> DataFrame:
     Same plan as the unweighted join form (orientation prunes the wedge
     stream to Σ deg+²); the only addition is the exact-integer weight
     carried on each oriented edge and a LEAST folded at the closure
-    match — no extra shuffle. Reference parity: the reference's
+    match — no extra shuffle. ``closure`` follows ``triangles_join``'s
+    strategy rule (broadcast the 24-byte/row weighted edge side under
+    the size limit so the wedge stream is never exchanged; shuffle in
+    the >limit regime). Reference parity: the reference's
     edge_weight.cu is weight-free despite its name (SURVEY §2.4); this
     is the [EXT] weighted semantics a co-occurrence graph wants."""
     from trianglecount_spark.operators.canonicalize import orient
@@ -530,6 +535,26 @@ def weighted_triangle_total(raw_pairs: DataFrame) -> DataFrame:
     e3 = wor.select(
         F.col("src").alias("u"), F.col("dst").alias("w"), F.col("wt").alias("w3")
     )
+    if closure == "auto":
+        est = _estimated_bytes(wor)
+        if est is not None:
+            closure = "broadcast" if est <= _BROADCAST_BYTE_LIMIT else "shuffle"
+        else:
+            # stats unknown ⇒ the decision needs a count; persist first
+            # so the weighted graph is built once, not once per branch
+            wor = wor.persist()
+            e1, e2, e3 = (
+                wor.select(
+                    F.col("src").alias(a), F.col("dst").alias(b),
+                    F.col("wt").alias(c),
+                )
+                for a, b, c in (("u", "v", "w1"), ("v", "w", "w2"), ("u", "w", "w3"))
+            )
+            closure = (
+                "broadcast" if wor.count() <= _BROADCAST_EDGE_LIMIT else "shuffle"
+            )
+    if closure == "broadcast":
+        e3 = F.broadcast(e3)
     tri = e1.join(e2, "v").join(e3, ["u", "w"])
     return tri.agg(
         F.count("*").cast("long").alias("n_triangles"),
