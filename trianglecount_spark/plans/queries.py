@@ -1211,6 +1211,47 @@ def q_region_nation_volume(spark, sf_dir):
     )
 
 
+def q_events_value_iqr(spark, sf_dir):
+    """GROUPED-AGG pandas UDF (the Arrow-vectorized UDAF surface,
+    complementing mapInPandas/applyInArrow elsewhere): per event type,
+    exact DISCRETE quartiles of the cent-value distribution via one
+    numpy sort per group — p25 = sorted[(n−1) div 4], p75 =
+    sorted[3(n−1) div 4] (the lower-element convention, integer index
+    arithmetic, so the result is element-exact, no interpolation, no
+    float). A UDAF receives each group as ONE Arrow batch — fine for
+    per-type groups; a 100 TB per-key cardinality would use the
+    sketch/exact-quantile queries instead (documented trade-off)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: this module's `from __future__ import
+    # annotations` stringifies signatures, so type inference can't run
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def p25(v):
+        a = np.sort(v.to_numpy())
+        return int(a[(len(a) - 1) // 4])
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def p75(v):
+        a = np.sort(v.to_numpy())
+        return int(a[(3 * (len(a) - 1)) // 4])
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(p25("cents").alias("p25_cents"), p75("cents").alias("p75_cents"))
+        .select(
+            "event_type",
+            "p25_cents",
+            "p75_cents",
+            (F.col("p75_cents") - F.col("p25_cents")).alias("iqr_cents"),
+        )
+    )
+
+
 def q_orders_rolling_30d(spark, sf_dir):
     """RANGE-frame window (the time-interval frame, complementing
     events_rolling_avg's ROWS frame): per customer, each order's
@@ -3139,6 +3180,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_avg_qty_correlated": q_part_avg_qty_correlated,
         "orders_rolling_30d": q_orders_rolling_30d,
         "part_set_ops": q_part_set_ops,
+        "events_value_iqr": q_events_value_iqr,
         "triangle_list_sample": q_triangle_list_sample,
         "docs_quality_deciles": q_docs_quality_deciles,
         "modularity_lpa": q_modularity_lpa,
@@ -4292,6 +4334,17 @@ o AS (
             "ra_millionths FROM cn "
             "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
             "WHERE e.src IS NULL"
+        ),
+        "events_value_iqr": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+            "g AS (SELECT event_type, list_sort(list(cents)) AS a, "
+            "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1) "
+            "SELECT event_type, "
+            "CAST(a[CAST(1 + (n - 1) // 4 AS INT)] AS BIGINT) AS p25_cents, "
+            "CAST(a[CAST(1 + (3 * (n - 1)) // 4 AS INT)] AS BIGINT) AS p75_cents, "
+            "CAST(a[CAST(1 + (3 * (n - 1)) // 4 AS INT)] "
+            "- a[CAST(1 + (n - 1) // 4 AS INT)] AS BIGINT) AS iqr_cents FROM g"
         ),
         "orders_rolling_30d": (
             "SELECT o_orderkey, o_custkey, "
