@@ -1334,6 +1334,56 @@ def q_orders_priority_exists(spark, sf_dir):
     )
 
 
+def q_partition_replication(spark, sf_dir):
+    """Vertex-cut partition QUALITY measurement (the Libra/HDRF concern
+    behind the reference's partitioner menu, SURVEY §2.3): for k = 8,
+    compare vertex replication — Σ_v #distinct parts holding v — under
+    (a) random edge-hash placement and (b) low-degree-anchor placement
+    (every edge to the part of its LOWER-degree endpoint, which under
+    the C5 orientation is exactly ``src``). Anchoring colocates all
+    edges of the long tail so only hubs replicate — the degree-skew
+    trade vertex-cut partitioners exist to make; the measured slot
+    counts quantify it. Both placements are portable md5 arithmetic,
+    so the oracle reproduces the exact placement, not a simulation."""
+    o = copurchase_oriented(spark, sf_dir)
+    k = 8
+
+    def mpart(salt: str, *cols):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(salt), *cols)), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(k),
+        )
+
+    def slots(strategy: str, pcol):
+        w = o.withColumn("p", pcol)
+        return (
+            w.select(F.col("src").alias("v"), "p")
+            .unionByName(w.select(F.col("dst").alias("v"), "p"))
+            .distinct()
+            .agg(F.count("*").cast("long").alias("vertex_slots"))
+            .select(
+                F.lit(strategy).alias("strategy"),
+                F.lit(k).cast("long").alias("k"),
+                "vertex_slots",
+            )
+        )
+
+    nv = (
+        o.select(F.col("src").alias("v"))
+        .unionByName(o.select(F.col("dst").alias("v")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+    both = slots("edge_hash", mpart("ph", F.col("src"), F.col("dst"))).unionByName(
+        slots("anchor_lowdeg", mpart("pv", F.col("src")))
+    )
+    return both.crossJoin(nv)
+
+
 def q_stress_copurchase(spark, sf_dir):
     """Stress centrality from source 0 on the copurchase graph —
     Brandes' TWO-pass algorithm with every quantity a BIGINT (sigma =
@@ -3168,6 +3218,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress_copurchase": q_stress_copurchase,
         "link_prediction_ra": q_link_prediction_ra,
         "katz_copurchase": q_katz_copurchase,
+        "partition_replication": q_partition_replication,
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
         "web_boilerplate": q_web_boilerplate,
@@ -4226,6 +4277,28 @@ o AS (
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
         "stress_copurchase": _stress_sql(4, 0),
+        "partition_replication": _CP
+        + (
+            ", eh AS (SELECT src, dst, CAST(CAST('0x' || substring("
+            "md5('ph:' || src || ':' || dst), 1, 15) AS UBIGINT) AS BIGINT) "
+            "% 8 AS p FROM o), "
+            "ev AS (SELECT src, dst, CAST(CAST('0x' || substring("
+            "md5('pv:' || src), 1, 15) AS UBIGINT) AS BIGINT) "
+            "% 8 AS p FROM o), "
+            "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM "
+            "(SELECT src AS v FROM o UNION SELECT dst FROM o)), "
+            "sh AS (SELECT CAST(count(*) AS BIGINT) AS vertex_slots FROM "
+            "(SELECT DISTINCT v, p FROM (SELECT src AS v, p FROM eh "
+            "UNION ALL SELECT dst AS v, p FROM eh))), "
+            "sv AS (SELECT CAST(count(*) AS BIGINT) AS vertex_slots FROM "
+            "(SELECT DISTINCT v, p FROM (SELECT src AS v, p FROM ev "
+            "UNION ALL SELECT dst AS v, p FROM ev))) "
+            "SELECT 'edge_hash' AS strategy, CAST(8 AS BIGINT) AS k, "
+            "(SELECT vertex_slots FROM sh) AS vertex_slots, "
+            "(SELECT n_vertices FROM nv) AS n_vertices "
+            "UNION ALL SELECT 'anchor_lowdeg', CAST(8 AS BIGINT), "
+            "(SELECT vertex_slots FROM sv), (SELECT n_vertices FROM nv)"
+        ),
         "katz_copurchase": _CP
         + (
             ", r1 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS wk "
