@@ -1211,6 +1211,48 @@ def q_region_nation_volume(spark, sf_dir):
     )
 
 
+def _zorder_expr(xcol: str, ycol: str, bits: int = 12) -> str:
+    """Bit-interleaved Z-value of two non-negative ints (``bits`` bits
+    each) as a portable SQL expression — identical text runs on Spark
+    SQL and DuckDB, so the oracle replays the exact layout."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_events_zorder_stats(spark, sf_dir):
+    """Z-ORDER data layout (the multi-dimensional clustering technique
+    behind Delta/Iceberg OPTIMIZE ZORDER): interleave the bits of
+    (user_id, day-since-epoch-of-corpus) into a Z-value, bucket rows by
+    the value's top 4 bits (pure arithmetic — no global ntile window),
+    and report each bucket's row count and per-dimension min/max spans.
+    Tight spans on BOTH dimensions are what make file-level min/max
+    skipping effective for 2-D predicates at 100 TB — this query IS the
+    measurement a layout job would emit. All integer arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    x = "CAST(user_id AS BIGINT)"
+    # midnight base ⇒ Spark's complete-day count == DuckDB's
+    # boundary-crossing count
+    y = "CAST(timestampdiff(DAY, TIMESTAMP '2024-01-01', ts) AS BIGINT)"
+    z = _zorder_expr("xv", "yv")
+    rows = ev.selectExpr(f"{x} AS xv", f"{y} AS yv").selectExpr(
+        "xv", "yv", f"CAST({z} AS BIGINT) AS zv"
+    )
+    return (
+        rows.selectExpr("xv", "yv", "CAST(zv >> 12 AS BIGINT) AS bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("xv").alias("min_user"),
+            F.max("xv").alias("max_user"),
+            F.min("yv").alias("min_day"),
+            F.max("yv").alias("max_day"),
+        )
+    )
+
+
 def q_events_value_iqr(spark, sf_dir):
     """GROUPED-AGG pandas UDF (the Arrow-vectorized UDAF surface,
     complementing mapInPandas/applyInArrow elsewhere): per event type,
@@ -3232,6 +3274,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rolling_30d": q_orders_rolling_30d,
         "part_set_ops": q_part_set_ops,
         "events_value_iqr": q_events_value_iqr,
+        "events_zorder_stats": q_events_zorder_stats,
         "triangle_list_sample": q_triangle_list_sample,
         "docs_quality_deciles": q_docs_quality_deciles,
         "modularity_lpa": q_modularity_lpa,
@@ -4407,6 +4450,19 @@ o AS (
             "ra_millionths FROM cn "
             "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
             "WHERE e.src IS NULL"
+        ),
+        "events_zorder_stats": (
+            "WITH r0 AS (SELECT CAST(user_id AS BIGINT) AS xv, "
+            "CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) "
+            "AS yv FROM events), "
+            "r1 AS (SELECT xv, yv, CAST("
+            + _zorder_expr("xv", "yv")
+            + " AS BIGINT) AS zv FROM r0) "
+            "SELECT CAST(zv >> 12 AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "min(xv) AS min_user, max(xv) AS max_user, "
+            "min(yv) AS min_day, max(yv) AS max_day "
+            "FROM r1 GROUP BY 1"
         ),
         "events_value_iqr": (
             "WITH c AS (SELECT event_type, "
