@@ -1376,6 +1376,48 @@ def q_orders_priority_exists(spark, sf_dir):
     )
 
 
+def q_copurchase_rules(spark, sf_dir):
+    """Association-rule mining over order baskets (the market-basket
+    classic): for part pairs co-occurring in ≥ 3 orders, emit
+    support count, confidence(a→b) and lift — BOTH in exact integer
+    MILLIONTHS (conf = 10⁶·n_ab div n_a; lift = 10⁶·n_ab·n_orders div
+    (n_a·n_b)) so the scores are aggregation-order-proof cross-engine.
+    Shape: one distinct-pair self-join per order (the same Σ C(k,2)
+    volume as the copurchase graph build — shared at scale), one pair
+    agg, two broadcast joins against the tiny per-part counts. The
+    support threshold prunes BEFORE the rule expansion, so the output
+    is the head of the distribution, not the quadratic tail."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = baskets.select("k").distinct().count()
+    item_n = baskets.groupBy("p").agg(F.count("*").cast("long").alias("n_item"))
+    a = baskets.withColumnRenamed("p", "pa")
+    b = baskets.withColumnRenamed("p", "pb")
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    scored = (
+        pairs.join(item_n.select(F.col("p").alias("pa"), F.col("n_item").alias("na")), "pa")
+        .join(item_n.select(F.col("p").alias("pb"), F.col("n_item").alias("nb")), "pb")
+    )
+    return scored.select(
+        "pa",
+        "pb",
+        "n_ab",
+        F.expr("CAST((1000000 * n_ab) div na AS BIGINT)").alias("conf_ab_millionths"),
+        F.expr("CAST((1000000 * n_ab) div nb AS BIGINT)").alias("conf_ba_millionths"),
+        F.expr(
+            f"CAST((1000000 * n_ab * CAST({n_orders} AS BIGINT)) div (na * nb) AS BIGINT)"
+        ).alias("lift_millionths"),
+    )
+
+
 def q_partition_replication(spark, sf_dir):
     """Vertex-cut partition QUALITY measurement (the Libra/HDRF concern
     behind the reference's partitioner menu, SURVEY §2.3): for k = 8,
@@ -3261,6 +3303,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_ra": q_link_prediction_ra,
         "katz_copurchase": q_katz_copurchase,
         "partition_replication": q_partition_replication,
+        "copurchase_rules": q_copurchase_rules,
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
         "web_boilerplate": q_web_boilerplate,
@@ -4320,6 +4363,25 @@ o AS (
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
         "stress_copurchase": _stress_sql(4, 0),
+        "copurchase_rules": (
+            "WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p "
+            "FROM lineitem), "
+            "no AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n FROM b), "
+            "itn AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item "
+            "FROM b GROUP BY 1), "
+            "pr AS (SELECT x.p AS pa, y.p AS pb, "
+            "CAST(count(*) AS BIGINT) AS n_ab FROM b x JOIN b y "
+            "ON x.k = y.k AND x.p < y.p GROUP BY 1, 2 "
+            "HAVING count(*) >= 3) "
+            "SELECT pa, pb, n_ab, "
+            "CAST((1000000 * n_ab) // na.n_item AS BIGINT) "
+            "AS conf_ab_millionths, "
+            "CAST((1000000 * n_ab) // nb.n_item AS BIGINT) "
+            "AS conf_ba_millionths, "
+            "CAST((1000000 * n_ab * (SELECT n FROM no)) "
+            "// (na.n_item * nb.n_item) AS BIGINT) AS lift_millionths "
+            "FROM pr JOIN itn na ON na.p = pr.pa JOIN itn nb ON nb.p = pr.pb"
+        ),
         "partition_replication": _CP
         + (
             ", eh AS (SELECT src, dst, CAST(CAST('0x' || substring("
