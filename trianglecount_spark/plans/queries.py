@@ -1376,6 +1376,76 @@ def q_orders_priority_exists(spark, sf_dir):
     )
 
 
+def q_events_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer scoring): per-user metrics, then 1–4 scores by comparison
+    against the EXACT discrete quartiles of each metric's distribution
+    (sorted-list indexing, the events_value_iqr convention — no ntile,
+    no global row window). Recency is integer days via micros div
+    86400e6 (identical integer division both engines — NOT calendar
+    date_diff, whose boundary-crossing count differs from complete
+    days for non-midnight stamps); recency scores invert (recent =
+    4). The quartile thresholds are a 1-row aggregate (users ≪
+    events) cross-joined back — at 10⁹ users the same plan works with
+    the thresholds from the exact-quantile query instead."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            ).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(
+            ev.agg(
+                F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx_us")
+            )
+        )
+        .select(
+            "user_id",
+            F.expr("CAST((mx_us - last_us) div 86400000000 AS BIGINT)").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    th = pu.agg(
+        F.sort_array(F.collect_list("recency_days")).alias("ra"),
+        F.sort_array(F.collect_list("frequency")).alias("fa"),
+        F.sort_array(F.collect_list("monetary_cents")).alias("ma"),
+        F.count("*").alias("n"),
+    ).selectExpr(
+        *[
+            f"element_at({a}, CAST(1 + ({q} * (n - 1)) DIV 4 AS INT)) AS {a}q{q}"
+            for a in ("ra", "fa", "ma")
+            for q in (1, 2, 3)
+        ]
+    )
+
+    def score(col, q1, q2, q3, invert=False):
+        s = (
+            F.when(F.col(col) <= F.col(q1), 1)
+            .when(F.col(col) <= F.col(q2), 2)
+            .when(F.col(col) <= F.col(q3), 3)
+            .otherwise(4)
+        )
+        return (F.lit(5) - s if invert else s).cast("long")
+
+    return pu.crossJoin(th).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", "raq1", "raq2", "raq3", invert=True).alias("r"),
+        score("frequency", "faq1", "faq2", "faq3").alias("f"),
+        score("monetary_cents", "maq1", "maq2", "maq3").alias("m"),
+    )
+
+
 def q_copurchase_rules(spark, sf_dir):
     """Association-rule mining over order baskets (the market-basket
     classic): for part pairs co-occurring in ≥ 3 orders, emit
@@ -3304,6 +3374,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_copurchase": q_katz_copurchase,
         "partition_replication": q_partition_replication,
         "copurchase_rules": q_copurchase_rules,
+        "events_rfm": q_events_rfm,
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
         "web_boilerplate": q_web_boilerplate,
@@ -4363,6 +4434,40 @@ o AS (
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
         "stress_copurchase": _stress_sql(4, 0),
+        "events_rfm": (
+            "WITH pu AS (SELECT user_id, "
+            "CAST(((SELECT max(epoch_us(ts)) FROM events) - "
+            "max(epoch_us(ts))) // 86400000000 AS BIGINT) AS recency_days, "
+            "CAST(count(*) AS BIGINT) AS frequency, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS monetary_cents FROM events GROUP BY 1), "
+            "th AS (SELECT list_sort(list(recency_days)) AS ra, "
+            "list_sort(list(frequency)) AS fa, "
+            "list_sort(list(monetary_cents)) AS ma, "
+            "CAST(count(*) AS BIGINT) AS n FROM pu), "
+            "thx AS (SELECT "
+            "ra[CAST(1 + (n - 1) // 4 AS INT)] AS raq1, "
+            "ra[CAST(1 + (2 * (n - 1)) // 4 AS INT)] AS raq2, "
+            "ra[CAST(1 + (3 * (n - 1)) // 4 AS INT)] AS raq3, "
+            "fa[CAST(1 + (n - 1) // 4 AS INT)] AS faq1, "
+            "fa[CAST(1 + (2 * (n - 1)) // 4 AS INT)] AS faq2, "
+            "fa[CAST(1 + (3 * (n - 1)) // 4 AS INT)] AS faq3, "
+            "ma[CAST(1 + (n - 1) // 4 AS INT)] AS maq1, "
+            "ma[CAST(1 + (2 * (n - 1)) // 4 AS INT)] AS maq2, "
+            "ma[CAST(1 + (3 * (n - 1)) // 4 AS INT)] AS maq3 FROM th) "
+            "SELECT user_id, recency_days, frequency, monetary_cents, "
+            "CAST(5 - (CASE WHEN recency_days <= raq1 THEN 1 "
+            "WHEN recency_days <= raq2 THEN 2 "
+            "WHEN recency_days <= raq3 THEN 3 ELSE 4 END) AS BIGINT) AS r, "
+            "CAST(CASE WHEN frequency <= faq1 THEN 1 "
+            "WHEN frequency <= faq2 THEN 2 "
+            "WHEN frequency <= faq3 THEN 3 ELSE 4 END AS BIGINT) AS f, "
+            "CAST(CASE WHEN monetary_cents <= maq1 THEN 1 "
+            "WHEN monetary_cents <= maq2 THEN 2 "
+            "WHEN monetary_cents <= maq3 THEN 3 ELSE 4 END AS BIGINT) AS m "
+            "FROM pu, thx"
+        ),
         "copurchase_rules": (
             "WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p "
             "FROM lineitem), "
