@@ -513,3 +513,18 @@ def test_katz_single_edge_rounds(spark):
         for r in katz_centrality(sym, beta_inv=2, rounds=2).collect()
     }
     assert got == {0: 750000, 1: 750000}
+
+
+def test_densest_subgraph_finds_clique(spark):
+    from trianglecount_spark.operators.metrics import densest_subgraph
+
+    # K5 with a path tail: the peel strips the tail, leaving the K5
+    # (density 10/5 = 2.0 => 2,000,000 millionths); the next round
+    # removes the now-regular K5 entirely, so round 1 is the argmax
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 5), (5, 6), (6, 7), (7, 8), (8, 9)]
+    sym = _sym(spark, k5 + tail)
+    r = densest_subgraph(sym, rounds=8).first()
+    assert (r.round, r.n_vertices, r.n_edges, r.density_millionths) == (
+        1, 5, 10, 2000000,
+    )

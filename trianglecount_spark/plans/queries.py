@@ -1376,6 +1376,16 @@ def q_orders_priority_exists(spark, sf_dir):
     )
 
 
+def q_densest_subgraph(spark, sf_dir):
+    """Densest-subgraph 2-approx (Charikar greedy, parallel peel) on
+    the copurchase graph — exact integer peel rule and millionths
+    density, best snapshot returned.
+    operators/metrics.py:densest_subgraph."""
+    from trianglecount_spark.operators.metrics import densest_subgraph
+
+    return densest_subgraph(copurchase_sym(spark, sf_dir), rounds=8)
+
+
 def q_events_rfm(spark, sf_dir):
     """RFM segmentation (recency / frequency / monetary — the classic
     customer scoring): per-user metrics, then 1–4 scores by comparison
@@ -3375,6 +3385,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_replication": q_partition_replication,
         "copurchase_rules": q_copurchase_rules,
         "events_rfm": q_events_rfm,
+        "densest_subgraph": q_densest_subgraph,
         "triangle_weight_total": q_triangle_weight_total,
         "web_host_pagerank": q_web_host_pagerank,
         "web_boilerplate": q_web_boilerplate,
@@ -3941,6 +3952,38 @@ def _sp_counts_sql(k: int = 4, source: int = 0, prefix: str = _CP) -> str:
     return sql + f" SELECT v, dist, sigma FROM s{k}"
 
 
+def _densest_sql(k: int = 8, prefix: str = _CP) -> str:
+    """Oracle for densest_subgraph: the parallel Charikar peel unrolled
+    — per round the (nv, de) snapshot, the integer above-average keep
+    rule, the induced subgraph; final argmax by (density_millionths
+    desc, round asc)."""
+    sql = prefix + ", g0 AS MATERIALIZED (SELECT src, dst FROM und)"
+    snaps = []
+    for r in range(k + 1):
+        sql += (
+            f", s{r} AS (SELECT CAST(count(*) AS BIGINT) AS de, "
+            f"(SELECT CAST(count(DISTINCT src) AS BIGINT) FROM g{r}) AS nv "
+            f"FROM g{r})"
+        )
+        snaps.append(f"SELECT CAST({r} AS BIGINT) AS round, nv, de FROM s{r}")
+        if r < k:
+            sql += (
+                f", k{r + 1} AS (SELECT dst AS v FROM g{r} GROUP BY dst "
+                f"HAVING count(*) * (SELECT nv FROM s{r}) > "
+                f"(SELECT de FROM s{r}))"
+                f", g{r + 1} AS MATERIALIZED (SELECT g.src, g.dst FROM g{r} g "
+                f"JOIN k{r + 1} a ON a.v = g.src "
+                f"JOIN k{r + 1} b ON b.v = g.dst)"
+            )
+    return sql + (
+        ", snaps AS (" + " UNION ALL ".join(snaps) + ") "
+        "SELECT round, nv AS n_vertices, CAST(de // 2 AS BIGINT) AS n_edges, "
+        "CAST((1000000 * de) // (2 * nv) AS BIGINT) AS density_millionths "
+        "FROM snaps WHERE nv > 0 "
+        "ORDER BY density_millionths DESC, round ASC LIMIT 1"
+    )
+
+
 def _stress_sql(k: int = 4, source: int = 0, prefix: str = _CP) -> str:
     """Oracle for stress_copurchase: both Brandes passes unrolled in
     integer arithmetic — forward sigma levels (reusing _sp_counts_sql's
@@ -4434,6 +4477,7 @@ o AS (
         "matching_copurchase": _matching_sql(8),
         "sp_counts_copurchase": _sp_counts_sql(4, 0),
         "stress_copurchase": _stress_sql(4, 0),
+        "densest_subgraph": _densest_sql(8),
         "events_rfm": (
             "WITH pu AS (SELECT user_id, "
             "CAST(((SELECT max(epoch_us(ts)) FROM events) - "
