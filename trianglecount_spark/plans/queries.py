@@ -2833,6 +2833,84 @@ def q_emb_kmeans(spark, sf_dir):
     )
 
 
+def q_docs_curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation — the five standard pretraining
+    gates composed as ONE plan, each doc tagged kept/dropped with its
+    FIRST failing stage (the lineage a 100 TB curation run must emit):
+
+      1. benchmark  — eval docs (id ≡ 0 mod 50) never train;
+      2. quality    — stopword ratio < 10%% (exact test n_sw·10 < n_tok);
+      3. lang       — non-English routed out (metadata column);
+      4. duplicate  — exact md5 dedup, min-id keeper WITHIN the
+                      surviving pool (pipeline semantics: dedup sees
+                      only what earlier gates passed);
+      5. contaminated — >50%% of the doc's 8-token windows appear in
+                      the benchmark window set (exact 2·hits > wins).
+
+    Every stage is a JVM expression or key-partitioned agg/semi-join;
+    stages fuse into a handful of shuffles, not five passes over the
+    corpus. Output: ``doc_id, keep, drop_reason``."""
+    from trianglecount_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sw = _STOPWORDS["en"]
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    q = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("t").isin(sw), 1).otherwise(0)).cast("long").alias("n_sw"),
+        F.count("*").cast("long").alias("n_tok"),
+    )
+    base = docs.select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).join(q, "doc_id")
+    pre = base.withColumn(
+        "reason0",
+        F.when(F.col("doc_id") % 50 == 0, "benchmark")
+        .when(F.col("n_sw") * 10 < F.col("n_tok"), "quality")
+        .when(F.col("lang") != "en", "lang"),
+    )
+    pool1 = pre.where(F.col("reason0").isNull())
+    keepers = pool1.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    p1 = pool1.join(keepers, "fp").withColumn(
+        "reason1", F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+    )
+    pool2 = p1.where(F.col("reason1").isNull()).select("doc_id")
+    wins = shingles(docs, n=8).select(
+        "doc_id", F.md5(F.col("s").cast("binary")).alias("wh")
+    )
+    bench_w = wins.where(F.col("doc_id") % 50 == 0).select("wh").distinct()
+    pool_w = wins.join(pool2, "doc_id", "left_semi")
+    n_w = pool_w.groupBy("doc_id").agg(F.count("*").cast("long").alias("nw"))
+    n_hit = (
+        pool_w.join(bench_w, "wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("nh"))
+    )
+    fin = (
+        pool2.join(n_w, "doc_id", "left")
+        .join(n_hit, "doc_id", "left")
+        .withColumn(
+            "reason2",
+            F.when(
+                F.col("nw").isNotNull()
+                & (F.coalesce(F.col("nh"), F.lit(0)) * 2 > F.col("nw")),
+                "contaminated",
+            ),
+        )
+    )
+    dropped_pre = pre.where(F.col("reason0").isNotNull()).select(
+        "doc_id", F.lit(0).cast("long").alias("keep"), F.col("reason0").alias("drop_reason")
+    )
+    dropped_dup = p1.where(F.col("reason1").isNotNull()).select(
+        "doc_id", F.lit(0).cast("long").alias("keep"), F.col("reason1").alias("drop_reason")
+    )
+    tail = fin.select(
+        "doc_id",
+        F.when(F.col("reason2").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        F.coalesce(F.col("reason2"), F.lit("")).alias("drop_reason"),
+    )
+    return dropped_pre.unionByName(dropped_dup).unionByName(tail)
+
+
 def q_docs_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (2 merge rounds) over the
     document corpus — pair stats on the word-frequency table, exact
@@ -3392,6 +3470,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_budget": q_web_crawl_budget,
         "docs_vocab_prune": q_docs_vocab_prune,
         "docs_bpe_merges": q_docs_bpe_merges,
+        "docs_curation_pipeline": q_docs_curation_pipeline,
         "emb_kmeans": q_emb_kmeans,
         "orders_priority_exists": q_orders_priority_exists,
         "lineitem_q6_sql": q_lineitem_q6_sql,
@@ -4580,6 +4659,46 @@ o AS (
             "JOIN wor e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
         "docs_bpe_merges": _bpe_sql(2),
+        "docs_curation_pipeline": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            f"q AS (SELECT doc_id, CAST(sum(CASE WHEN "
+            f"{_sw_pred('t', _STOPWORDS['en'])} THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sw, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1), "
+            "base AS (SELECT d.doc_id, d.lang, md5(d.text) AS fp, "
+            "q.n_sw, q.n_tok FROM documents d JOIN q USING (doc_id)), "
+            "pre AS (SELECT *, CASE WHEN doc_id % 50 = 0 THEN 'benchmark' "
+            "WHEN n_sw * 10 < n_tok THEN 'quality' "
+            "WHEN lang <> 'en' THEN 'lang' END AS reason0 FROM base), "
+            "pool1 AS (SELECT * FROM pre WHERE reason0 IS NULL), "
+            "kp AS (SELECT fp, min(doc_id) AS keep_id FROM pool1 GROUP BY 1), "
+            "p1 AS (SELECT pool1.doc_id, CASE WHEN pool1.doc_id <> kp.keep_id "
+            "THEN 'duplicate' END AS reason1 FROM pool1 JOIN kp USING (fp)), "
+            "pool2 AS (SELECT doc_id FROM p1 WHERE reason1 IS NULL), "
+            "wd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 8), "
+            "wins AS (SELECT DISTINCT doc_id, md5(s) AS wh FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), "
+            "i -> array_to_string(t[i:i+7], ' '))) AS s FROM wd)), "
+            "bw AS (SELECT DISTINCT wh FROM wins WHERE doc_id % 50 = 0), "
+            "pw AS (SELECT * FROM wins WHERE doc_id IN "
+            "(SELECT doc_id FROM pool2)), "
+            "nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_w "
+            "FROM pw GROUP BY 1), "
+            "nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM pw "
+            "WHERE wh IN (SELECT wh FROM bw) GROUP BY 1), "
+            "fin AS (SELECT p.doc_id, CASE WHEN nw.n_w IS NOT NULL AND "
+            "coalesce(nh.n_hit, 0) * 2 > nw.n_w THEN 'contaminated' END "
+            "AS reason2 FROM pool2 p LEFT JOIN nw USING (doc_id) "
+            "LEFT JOIN nh USING (doc_id)) "
+            "SELECT doc_id, CAST(0 AS BIGINT) AS keep, reason0 AS drop_reason "
+            "FROM pre WHERE reason0 IS NOT NULL "
+            "UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 'duplicate' "
+            "FROM p1 WHERE reason1 IS NOT NULL "
+            "UNION ALL SELECT doc_id, "
+            "CAST(CASE WHEN reason2 IS NULL THEN 1 ELSE 0 END AS BIGINT), "
+            "coalesce(reason2, '') FROM fin"
+        ),
         "docs_vocab_prune": (
             "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS lv "
             "FROM documents), "
