@@ -1,5 +1,8 @@
-"""Per-vertex graph metrics ([EXT]): local clustering coefficient and
-k-core decomposition.
+"""Per-vertex and whole-graph metrics ([EXT]): clustering coefficient,
+assortativity, k-core, link prediction (Jaccard + resource allocation),
+butterfly counting, BFS/SSSP, shortest-path counting, stress
+centrality (integer two-pass Brandes), truncated Katz, 4-cliques, and
+densest-subgraph peeling.
 
 The reference computes per-vertex triangle counts with anchor
 attribution (g_sum, Final_updated_corrected.cu:57-219); the standard
