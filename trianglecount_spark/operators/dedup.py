@@ -113,9 +113,30 @@ def lsh_candidates(
 
 
 def jaccard_pairs(
-    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5, round_to: int = 6
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    round_to: int = 6,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs ``a, b, jac`` with jac ≥ threshold."""
+    """Exact shingle-Jaccard pairs ``a, b, jac`` with jac ≥ threshold.
+
+    ``max_df`` drops shingles present in more than that many documents
+    BEFORE the inverted-index self-join — the boilerplate cap that
+    keeps ubiquitous shingles from driving quadratic per-key pair
+    expansion (same rationale as window_containment_pairs' cap; a
+    corpus-wide 5-gram contributes ~nothing to any pair's Jaccard but
+    joins every doc against every doc). Jaccard is then computed over
+    each doc's CAPPED shingle set — the oracle applies the identical
+    cap, so the scores stay exact."""
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("a"), "s")
     b = sh.select(F.col(id_col).alias("b"), "s")

@@ -1897,7 +1897,7 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     from trianglecount_spark.operators.dedup import char_ngrams, jaccard_pairs
 
     grams = char_ngrams(_t(spark, sf_dir, "documents"), n=5)
-    return jaccard_pairs(grams, threshold=0.5)
+    return jaccard_pairs(grams, threshold=0.5, max_df=100)
 
 
 def q_docs_window_dedup(spark, sf_dir):
@@ -5338,9 +5338,12 @@ o AS (
             "unnest(list_transform(range(1, length(text) - 3), "
             "i -> substring(text, CAST(i AS INT), 5))) AS s "
             "FROM documents WHERE length(text) >= 5), "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            # identical df<=100 boilerplate-gram cap as the engine
+            "dfc AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100), "
+            "shc AS (SELECT sh.* FROM sh JOIN dfc USING (s)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jac "
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.a "
             "JOIN sizes sb ON sb.doc_id = inter.b "
