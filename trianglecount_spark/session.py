@@ -49,6 +49,16 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
+    # Python workers unpickle library UDFs by importing this package; make
+    # sure the repo root is importable on workers even when the launcher's
+    # cwd/PYTHONPATH differ (spark-submit --py-files covers this on a real
+    # cluster, this covers ad-hoc local launchers).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
