@@ -177,3 +177,32 @@ def test_bpe_skips_self_pairs_and_stops_when_dry(spark):
         for r in bpe_merges(docs, rounds=3).collect()
     ]
     assert rows == [(1, "x", "y", "xy", 2)]
+
+
+def test_pii_scrub_goldens(spark):
+    """PII detector/redactor: known spans, adjacency, and a clean doc."""
+    from trianglecount_spark.functions.pii import scrub_documents
+
+    rows = [
+        (0, "no pii here at all"),
+        (1, "mail a.b+c@mail3.example or b@x.io now"),
+        (2, "call +1 415 555 0134 or +44 020 555 9999 today"),
+        (3, "ssn 123-45-6789 ip 10.2.3.44 mixed a@b.co +1 200 555 0000"),
+        (4, "edge 999.999.999.999 and 1.2.3.4.5 and x@y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_documents(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ssn"], out[0]["n_ipv4"]) == (0, 0, 0, 0)
+    assert out[0]["redacted"] == "no pii here at all"
+    assert out[1]["n_email"] == 2
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> today"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ssn"], out[3]["n_ipv4"]) == (1, 1, 1, 1)
+    assert out[3]["redacted"] == "ssn <SSN> ip <IPV4> mixed <EMAIL> <PHONE>"
+    # 999.… still matches the shape-only ipv4 pattern (documented: shape,
+    # not range validation); 1.2.3.4.5 has no boundary after octet 4 —
+    # RE2/Java both refuse the \b before the 5th dot, so the first four
+    # octets match; bare x@y lacks a TLD and is not an email
+    assert out[4]["n_email"] == 0
+    assert out[4]["n_ipv4"] == 2

@@ -1881,6 +1881,42 @@ def q_docs_fingerprint(spark, sf_dir):
     )
 
 
+def q_docs_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py) — per-doc span
+    counts by class and the md5 of the scrubbed text. The synthetic
+    corpus carries no PII, so a deterministic contact block (email,
+    phone, SSN, IPv4 — all derived from doc_id) is appended to 4 of
+    every 5 docs first, replayed identically by the oracle; docs with
+    doc_id % 5 == 0 stay untouched as the zero-match control group.
+    Whole pass is row-local JVM regexp expressions — zero shuffles."""
+    from trianglecount_spark.functions.pii import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    contact = F.concat(
+        F.lit(" Contact user"), s(d), F.lit("@mail"), s(d % 7),
+        F.lit(".example or +1 "), s(d % 800 + 100), F.lit(" 555 "),
+        F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" ssn "), F.lpad(s(d % 1000), 3, "0"), F.lit("-"),
+        F.lpad(s(d % 100), 2, "0"), F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" ip 10."), s(d % 256), F.lit("."), s((d * 7) % 256),
+        F.lit("."), s(d % 250), F.lit(" end"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(d % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), contact))
+        .alias("t"),
+    )
+    t = F.col("t")
+    return aug.select(
+        "doc_id",
+        *pii_counts(t),
+        F.md5(pii_redact(t).cast("binary")).alias("red_md5"),
+    )
+
+
 def q_docs_jaccard_pairs(spark, sf_dir):
     from trianglecount_spark.operators.dedup import jaccard_pairs
 
@@ -3542,6 +3578,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang_id": q_docs_lang_id,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_window_dedup": q_docs_window_dedup,
@@ -4503,6 +4540,17 @@ def oracle() -> dict[str, str]:
     cos = (
         "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[]))"
     )
+    from trianglecount_spark.functions.pii import PII_PATTERNS
+
+    # patterns restricted to the Java-regex ∩ RE2 dialect (functions/pii.py),
+    # shared verbatim by both engines
+    pii_counts_sql = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    pii_red_sql = "t"
+    for pat, repl in PII_PATTERNS.values():
+        pii_red_sql = f"regexp_replace({pii_red_sql}, '{pat}', '{repl}', 'g')"
     return {
         "copurchase_edges": _CP + "SELECT src, dst FROM und",
         "degrees": _CP + "SELECT v, deg FROM deg",
@@ -5322,6 +5370,19 @@ o AS (
         ),
         "docs_fingerprint": (
             "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+        ),
+        "docs_pii_scrub": (
+            "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text "
+            "ELSE text || ' Contact user' || doc_id || '@mail' || (doc_id % 7) "
+            "|| '.example or +1 ' || (doc_id % 800 + 100) || ' 555 ' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            "|| ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+            "|| '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') "
+            "|| '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            "|| ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
+            "|| '.' || (doc_id % 250) || ' end' END AS t FROM documents) "
+            f"SELECT doc_id, {pii_counts_sql}, md5({pii_red_sql}) AS red_md5 "
+            "FROM aug"
         ),
         "docs_jaccard_pairs": _SHINGLES
         + (
