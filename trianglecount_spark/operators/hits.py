@@ -43,6 +43,9 @@ def hits(edges: DataFrame, rounds: int = 6) -> DataFrame:
     caller's; pass distinct, loop-free edges for textbook HITS).
     Returns ``(v, hub, auth)`` with exact-integer decimal(38,0) scores
     after ``rounds`` full auth+hub rounds from hub_0 = 1."""
+    # the single lazy plan below references `edges` 2*rounds times:
+    # pin it so the upstream derivation materializes once
+    edges = edges.localCheckpoint(eager=False)
     vset = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))

@@ -44,6 +44,8 @@ def hyperball_profile(edges: DataFrame, rounds: int = 3) -> DataFrame:
     deterministic function ``ALPHA_M2_SCALE / s_scaled`` of the emitted
     integer; keeping the profile all-BIGINT makes it exactly
     cross-engine comparable)."""
+    # pinned once: the merge loop references `edges` every round
+    edges = edges.localCheckpoint(eager=False)
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -83,6 +85,7 @@ def hyperball(edges: DataFrame, rounds: int = 3) -> DataFrame:
     ``v, s_scaled, estimate`` with estimate ≈ |B(v, rounds)| (v itself
     included). ``edges`` is a directed (src, dst) table; vertex ids may
     be any type castable to string (int64 ids or raw urls)."""
+    edges = edges.localCheckpoint(eager=False)
     verts = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))

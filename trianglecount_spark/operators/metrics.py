@@ -371,6 +371,8 @@ def shortest_path_counts(
     sigma values — order-dependent float sums — so this exact pass is
     the principled oracle-checkable unit; sampled betweenness composes
     it with a driver-side accumulation in tests if ever needed.)"""
+    # pinned once: every level joins the frontier against `sym_edges`
+    sym_edges = sym_edges.localCheckpoint(eager=False)
     spark = sym_edges.sparkSession
     state = spark.range(1).select(
         F.lit(source).cast("long").alias("v"),

@@ -45,6 +45,10 @@ def maximal_independent_set(
     ``vertices`` (one column ``v``) restricts the universe — edges with
     an endpoint outside it are ignored; vertices isolated WITHIN the
     universe still win round 1 (``luby_coloring`` relies on this)."""
+    # the loop references `edges` twice per round: pin it so the
+    # upstream derivation (often a full canonicalize pipeline) runs
+    # once, not once per reference per round
+    edges = edges.localCheckpoint(eager=False)
     rem = (
         vertices.select("v")
         if vertices is not None
@@ -99,6 +103,8 @@ def luby_coloring(
     Per-color salts keep the md5 priorities independent across classes.
     State: one vertex-sized remaining set; every step is a semi-join or
     groupBy keyed on vertex id."""
+    # one materialization shared by every color's MIS call
+    edges = edges.localCheckpoint(eager=False)
     rem = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))

@@ -54,7 +54,10 @@ def deterministic_walks(
     ``seeds`` is a one-column DataFrame ``(walk,)``."""
     # rename the adjacency columns once — the frontier is itself derived
     # from `edges`, so un-aliased self-join references would be ambiguous
-    adj = edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+    # — and pin: the step branches reference the adjacency `length` times
+    adj = edges.select(
+        F.col("src").alias("_es"), F.col("dst").alias("_ed")
+    ).localCheckpoint(eager=False)
     state = seeds.select(F.col("walk"), F.col("walk").alias("v"))
     out = [state.select("walk", F.lit(0).alias("step"), "v")]
     for t in range(1, length + 1):
@@ -91,7 +94,9 @@ def neighbor_sample(
     subgraph never silently drops a frontier vertex.
 
     ``seeds`` is a one-column DataFrame ``(seed,)``."""
-    adj = edges.select(F.col("src").alias("_es"), F.col("dst").alias("_ed"))
+    adj = edges.select(
+        F.col("src").alias("_es"), F.col("dst").alias("_ed")
+    ).localCheckpoint(eager=False)  # referenced by both hops
     h1r = (
         seeds.join(adj, seeds["seed"] == adj["_es"])
         .select(

@@ -913,7 +913,15 @@ def q_pagerank_copurchase(spark, sf_dir):
     iteration unrolled as 30 MATERIALIZED CTEs."""
     sym = copurchase_sym(spark, sf_dir)
     n = sym.select(F.col("src").alias("v")).distinct().count()
-    ranks, _ = pagerank(sym, tol=0.0, max_iter=30, check_every=30)
+    # symmetric graph => every vertex has out-edges: the dangling-free
+    # share is the CONSTANT (1-alpha)/N (the oracle's float-sum closure
+    # equals it to ~1e-16, far below the 4-decimal rounding), and the
+    # single-reference step lets 5 rounds compose into one job — the
+    # overhead-bound-regime cadence (see pagerank() on when NOT to)
+    ranks, _ = pagerank(
+        sym, tol=0.0, max_iter=30, check_every=30,
+        dangling_free=True, materialize_every=5,
+    )
     return ranks.select(
         "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
     )
