@@ -123,7 +123,15 @@ def link_prediction_jaccard(
     all its neighbor pairs) — at web scale, cap or sample hub centers
     (the DOULION-style coin in queries.q_triangle_estimate_sampled is
     the template) or pre-filter to a candidate vertex set. ``min_common``
-    only bounds the *output*; the wedge stream is paid regardless."""
+    only bounds the *output*; the wedge stream is paid regardless.
+
+    The eager pin below is a measured 3.4x at sf0.1 (315s -> 94s): the
+    wedge self-join otherwise re-derives the edge table on BOTH sides.
+    (Also measured and rejected: generating the C(d,2) pairs with SQL
+    higher-order functions over collected adjacency arrays — 313s; the
+    combination expansion is interpreted per element, the same trap as
+    per-element cosine lambdas.)"""
+    sym_edges = sym_edges.localCheckpoint(eager=True)
     e1 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     e2 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     cn = (
@@ -474,6 +482,7 @@ def link_prediction_ra(
     stream itself is Σ C(d,2) regardless of ``min_common`` — the same
     scale caveat (and the same mitigations: hub caps / DOULION
     sampling / candidate prefilter) as ``link_prediction_jaccard``."""
+    sym_edges = sym_edges.localCheckpoint(eager=True)  # see jaccard note
     deg = degrees(sym_edges)
     centered = sym_edges.join(
         deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "cdeg"),
