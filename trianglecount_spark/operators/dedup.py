@@ -194,13 +194,12 @@ def window_containment_pairs(
     oracle. (Reference scope: no text ops —
     src/WithPartition/Final_updated_corrected.cu is triangles only; this
     is driver-mandated LLM-pipeline breadth.)"""
-    wins = (
-        shingles(docs, text_col=text_col, id_col=id_col, n=k)
-        .select(id_col, F.md5(F.col("s").cast("binary")).alias("wh"))
-        # four plan branches below (sizes, dfreq, both join sides):
-        # pin the explode so it runs once per action, not per branch
-        .localCheckpoint(eager=False)
+    wins = shingles(docs, text_col=text_col, id_col=id_col, n=k).select(
+        id_col, F.md5(F.col("s").cast("binary")).alias("wh")
     )
+    # NOT pinned, unlike jaccard_pairs: a checkpoint here would hide the
+    # pruned parquet scan from the plan (tests assert ReadSchema), and
+    # the window explode is cheap enough that branch recompute is noise
     sizes = wins.groupBy(id_col).agg(F.count("*").alias("n"))
     dfreq = wins.groupBy("wh").agg(F.count("*").alias("df"))
     kept = wins.join(
