@@ -528,3 +528,45 @@ def test_densest_subgraph_finds_clique(spark):
     assert (r.round, r.n_vertices, r.n_edges, r.density_millionths) == (
         1, 5, 10, 2000000,
     )
+
+
+def test_core_numbers_k4_tail(spark):
+    # K4 on {0,1,2,3} (coreness 3) with a path tail 3-4-5 (coreness 1)
+    from trianglecount_spark.operators.metrics import core_numbers
+
+    und = [(a, b) for a in range(4) for b in range(4) if a != b]
+    und += [(3, 4), (4, 3), (4, 5), (5, 4)]
+    sym = spark.createDataFrame(und, "src long, dst long")
+    got = {r.v: r.coreness for r in core_numbers(sym, rounds=6).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_core_numbers_matches_peeling(spark):
+    # random graph: h-index fixpoint must equal classic min-degree peeling
+    import numpy as np
+    from trianglecount_spark.operators.metrics import core_numbers
+
+    rng = np.random.default_rng(5)
+    n = 30
+    und = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, size=(90, 2)) if a != b})
+    sym = list({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    # reference coreness by min-degree peeling (Batagelj-Zaversnik):
+    # remove the min-degree vertex; coreness = running max of removal degree
+    adj = {v: set() for e in sym for v in e}
+    for a, b in sym:
+        adj[a].add(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        v = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        alive.remove(v)
+        for u in adj[v]:
+            if u in alive:
+                deg[u] -= 1
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {r.v: r.coreness for r in core_numbers(df, rounds=12).collect()}
+    assert got == core

@@ -335,6 +335,46 @@ def k_core(
     return core, log
 
 
+def core_numbers(sym_edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """FULL core decomposition — per-vertex coreness ``v, coreness``
+    (the largest k such that v survives k-core peeling), complementing
+    ``k_core``'s fixed-k subgraph.
+
+    Distributed h-index iteration (Lü, Zhou, Zhang, Stanley, Nature
+    Communications 2016): h₀(v) = deg(v); h_{t+1}(v) = H-index of the
+    multiset {h_t(u) : u ~ v} — the largest h with ≥ h neighbors whose
+    value is ≥ h. The sequence is monotone non-increasing and its
+    fixpoint is exactly the coreness; a FIXED ``rounds`` budget runs on
+    both engines, so the oracle agrees bit-for-bit whether or not the
+    budget reaches the fixpoint (same convergence discipline as
+    ``k_core``/``k_truss``: a fixpoint is stable under extra rounds).
+
+    Physical shape per round: one shuffle join (neighbor values onto
+    edge sources) + one per-vertex window (row_number over values desc
+    — partitioned by vertex, never global; per-partition work bounded
+    by the vertex degree) + one hash agg for max(min(rank, value)). The
+    H-index value is order-independent under ties, so the window's tie
+    order cannot leak into the result. State is one vertex-sized table,
+    lineage truncated per round."""
+    from pyspark.sql import Window
+
+    sym_edges = sym_edges.localCheckpoint(eager=True)
+    h = degrees(sym_edges).select("v", F.col("deg").cast("long").alias("h"))
+    w = Window.partitionBy("v").orderBy(F.desc("nh"))
+    for _ in range(rounds):
+        nbr = sym_edges.join(
+            h.select(F.col("v").alias("dst"), F.col("h").alias("nh")), "dst"
+        ).select(F.col("src").alias("v"), "nh")
+        h = (
+            nbr.withColumn("rn", F.row_number().over(w).cast("long"))
+            .select("v", F.least("rn", "nh").alias("m"))
+            .groupBy("v")
+            .agg(F.max("m").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return h.select("v", F.col("h").alias("coreness"))
+
+
 def clique4_count(oriented: DataFrame) -> DataFrame:
     """Number of 4-cliques — one row ``n_4cliques``.
 

@@ -527,6 +527,19 @@ def q_kcore_suppliers(spark, sf_dir):
     return core
 
 
+def q_coreness_copurchase(spark, sf_dir):
+    """FULL core decomposition of the copurchase graph — per-vertex
+    coreness via the distributed h-index iteration
+    (operators/metrics.py:core_numbers, Lü et al. 2016), 8 fixed rounds.
+    The oracle unrolls the identical iteration (H-index as
+    max(least(row_number-desc, value)) per vertex); the H-index value is
+    tie-order-independent, so both engines agree bit-for-bit whether or
+    not 8 rounds reach the fixpoint."""
+    from trianglecount_spark.operators.metrics import core_numbers
+
+    return core_numbers(copurchase_sym(spark, sf_dir), rounds=8)
+
+
 def q_edge_support(spark, sf_dir):
     """Per-edge triangle support over the copurchase graph
     (operators/truss.py) — the per-edge analog of the reference's
@@ -3553,6 +3566,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_attribution": q_events_stream_attribution,
         "clustering_coeff": q_clustering_coeff,
         "kcore_suppliers": q_kcore_suppliers,
+        "coreness_copurchase": q_coreness_copurchase,
         "edge_support": q_edge_support,
         "ktruss_copurchase": q_ktruss_copurchase,
         "butterflies_suppliers": q_butterflies_suppliers,
@@ -4460,6 +4474,31 @@ def _kcore_sql(k: int = 30, rounds: int = 8) -> str:
     )
 
 
+def _coreness_sql(rounds: int = 8) -> str:
+    """The engine's h-index coreness iteration (metrics.core_numbers)
+    unrolled as ``rounds`` chained CTEs over the symmetric copurchase
+    edges — H-index per vertex as max(least(rank, value)) with the rank
+    from a value-descending window, identical arithmetic on both
+    engines (all BIGINT)."""
+    ctes = [
+        "h0 AS MATERIALIZED (SELECT src AS v, CAST(count(*) AS BIGINT) AS h "
+        "FROM und GROUP BY 1)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT v, max(least(rn, nh)) AS h FROM ("
+            f"SELECT e.src AS v, p.h AS nh, "
+            f"row_number() OVER (PARTITION BY e.src ORDER BY p.h DESC) AS rn "
+            f"FROM und e JOIN h{i - 1} p ON p.v = e.dst) GROUP BY v)"
+        )
+    return (
+        _CP
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, h AS coreness FROM h{rounds}"
+    )
+
+
 def _ktruss_sql(k: int = 10, rounds: int = 12) -> str:
     """The engine's k-truss peeling (operators/truss.py) unrolled as
     ``rounds`` chained CTEs over the canonical (src < dst) copurchase
@@ -5128,6 +5167,7 @@ o AS (
         ),
         "clustering_coeff": _LCC_SQL,
         "kcore_suppliers": _kcore_sql(30, 8),
+        "coreness_copurchase": _coreness_sql(8),
         "edge_support": _EDGE_SUPPORT_SQL,
         "ktruss_copurchase": _ktruss_sql(10, 12),
         "butterflies_suppliers": (
