@@ -335,7 +335,9 @@ def k_core(
     return core, log
 
 
-def core_numbers(sym_edges: DataFrame, rounds: int = 8) -> DataFrame:
+def core_numbers(
+    sym_edges: DataFrame, rounds: int = 8, broadcast_state: bool = True
+) -> DataFrame:
     """FULL core decomposition — per-vertex coreness ``v, coreness``
     (the largest k such that v survives k-core peeling), complementing
     ``k_core``'s fixed-k subgraph.
@@ -349,21 +351,26 @@ def core_numbers(sym_edges: DataFrame, rounds: int = 8) -> DataFrame:
     budget reaches the fixpoint (same convergence discipline as
     ``k_core``/``k_truss``: a fixpoint is stable under extra rounds).
 
-    Physical shape per round: one shuffle join (neighbor values onto
-    edge sources) + one per-vertex window (row_number over values desc
-    — partitioned by vertex, never global; per-partition work bounded
-    by the vertex degree) + one hash agg for max(min(rank, value)). The
-    H-index value is order-independent under ties, so the window's tie
-    order cannot leak into the result. State is one vertex-sized table,
-    lineage truncated per round."""
+    Physical shape per round: the state is VERTEX-sized (one long per
+    vertex) while the work table is EDGE-sized, so the state ships to
+    the edges — broadcast by default (``broadcast_state``; right up to
+    ~10M vertices — beyond that, set False for a shuffle join, the
+    10^12-url regime). The edge table is hash-partitioned on src ONCE
+    up front; the broadcast join preserves that partitioning, so the
+    per-vertex window (row_number over values desc — per-vertex, never
+    global) and the max(min(rank, value)) agg both reuse it: a round is
+    ONE stage of local sorts, no per-round edge shuffle. The H-index
+    value is order-independent under ties, so the window's tie order
+    cannot leak into the result. Lineage truncated per round."""
     from pyspark.sql import Window
 
-    sym_edges = sym_edges.localCheckpoint(eager=True)
+    sym_edges = sym_edges.repartition("src").localCheckpoint(eager=True)
     h = degrees(sym_edges).select("v", F.col("deg").cast("long").alias("h"))
     w = Window.partitionBy("v").orderBy(F.desc("nh"))
+    pin = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(rounds):
         nbr = sym_edges.join(
-            h.select(F.col("v").alias("dst"), F.col("h").alias("nh")), "dst"
+            pin(h.select(F.col("v").alias("dst"), F.col("h").alias("nh"))), "dst"
         ).select(F.col("src").alias("v"), "nh")
         h = (
             nbr.withColumn("rn", F.row_number().over(w).cast("long"))
