@@ -7,10 +7,16 @@ ties broken by the SMALLEST label; stops when no label changes or after
 output on every run and any partitioning (the property the correctness
 gate needs; asynchronous LPA is run-order dependent).
 
-Physical shape per round: one shuffle join (labels onto edge dsts), one
-two-key hash aggregate (v, label → freq), one window-free top-1 via
-max_by on the (freq, -label) pair — no row_number window, so no skew
-pile-up on a single partition.
+Physical shape per round: the label state is VERTEX-sized while the
+work table is EDGE-sized, so the state ships to the edges — broadcast
+by default (``broadcast_state``; right up to ~10M vertices, shuffle
+join beyond — the 10^12-url regime). The symmetric edge table is
+hash-partitioned on dst ONCE up front; the broadcast join preserves
+it, and HashPartitioning(dst) satisfies the (v, label) clustering the
+frequency aggregate needs (subset rule), so a round's edge-sized work
+is a single co-partitioned stage: no per-round edge shuffle. Top-1 is
+window-free via max_by on the (freq, -label) pair — no row_number
+window, so no skew pile-up on a single partition.
 """
 
 from __future__ import annotations
@@ -27,13 +33,16 @@ def label_propagation(
     check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, IterationLog]:
     """LPA over an undirected edge list. Returns (``v, label``, log)."""
+    pin = F.broadcast if broadcast_state else (lambda df: df)
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .repartition("dst")
         .cache()
     )
     all_v = (
@@ -45,7 +54,7 @@ def label_propagation(
 
     def step(labels: DataFrame, i: int) -> DataFrame:
         freq = (
-            sym.join(labels.withColumnRenamed("v", "src"), "src")
+            sym.join(pin(labels.withColumnRenamed("v", "src")), "src")
             .groupBy(F.col("dst").alias("v"), F.col("label"))
             .agg(F.count("*").alias("freq"))
         )
