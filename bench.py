@@ -115,6 +115,7 @@ def main() -> None:
             check_every=n_iter,
             dangling_free=True,
             materialize_every=4,
+            broadcast_state=True,
         )
         return ranks.count()
 

@@ -48,6 +48,7 @@ def pagerank(
     dangling_free: bool = False,
     teleport: DataFrame | None = None,
     weight: str | None = None,
+    broadcast_state: bool = False,
     materialize_every: int | None = None,
 ) -> tuple[DataFrame, IterationLog]:
     """PageRank over a *directed* edge table ``src, dst``.
@@ -105,10 +106,18 @@ def pagerank(
     agg_out = F.count("*") if weight is None else F.sum(weight)
     outdeg = edges.groupBy("src").agg(agg_out.alias("outdeg"))
     per_edge = F.lit(1.0) if weight is None else F.col(weight).cast("double")
+    # broadcast_state=True: the vertex-sized rank vector broadcasts onto
+    # the edge table each round, so the contribution join needs no edge
+    # partitioning — pre-partition ew on DST instead, and the groupBy(dst)
+    # aggregate reuses it: a round's edge-sized work runs with NO shuffle.
+    # Right up to ~10M vertices (the bench/gate regime); at 10^12 urls the
+    # rank vector cannot broadcast — the default shuffle join partitions
+    # ew on src and ships only the vertex-sized vector per round.
+    pin = F.broadcast if broadcast_state else (lambda df: df)
     ew = (
         edges.join(outdeg, "src")
         .select("src", "dst", (per_edge / F.col("outdeg")).alias("w"))
-        .repartition("src")
+        .repartition("dst" if broadcast_state else "src")
         .cache()
     )
     ew.count()
@@ -120,7 +129,7 @@ def pagerank(
 
     def step(ranks: DataFrame, i: int) -> DataFrame:
         contribs = (
-            ew.join(ranks.withColumnRenamed("v", "src"), "src")
+            ew.join(pin(ranks.withColumnRenamed("v", "src")), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )

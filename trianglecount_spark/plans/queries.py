@@ -425,7 +425,8 @@ def q_ppr_copurchase(spark, sf_dir):
     ns = seeds.count()
     n = verts.count()
     tele = seeds.select("v", F.lit(1.0 / ns).alias("s"))
-    ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10, teleport=tele)
+    ranks, _ = pagerank(sym, tol=0.0, max_iter=10, check_every=10, teleport=tele,
+                       broadcast_state=True)
     return ranks.select(
         "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
     )
@@ -933,7 +934,7 @@ def q_pagerank_copurchase(spark, sf_dir):
     # overhead-bound-regime cadence (see pagerank() on when NOT to)
     ranks, _ = pagerank(
         sym, tol=0.0, max_iter=30, check_every=30,
-        dangling_free=True, materialize_every=5,
+        dangling_free=True, materialize_every=5, broadcast_state=True,
     )
     return ranks.select(
         "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
@@ -1130,7 +1131,7 @@ def q_pagerank_exact10(spark, sf_dir):
     # 5-round chains for the overhead-bound gate/bench regime
     ranks, _ = pagerank(
         sym, tol=0.0, max_iter=10, check_every=10,
-        dangling_free=True, materialize_every=5,
+        dangling_free=True, materialize_every=5, broadcast_state=True,
     )
     return ranks.select(
         "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
@@ -2468,7 +2469,7 @@ def q_web_pagerank(spark, sf_dir):
     e, _verts = edges_from_pages(web_pages_from_documents(spark, sf_dir))
     sym = canonicalize_edges(e)
     n = sym.select(F.col("src").alias("v")).distinct().count()
-    ranks, _log = pagerank(sym, tol=0.0, max_iter=10, check_every=10)
+    ranks, _log = pagerank(sym, tol=0.0, max_iter=10, check_every=10, broadcast_state=True)
     return ranks.select(
         "v", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n")
     )
@@ -2875,7 +2876,8 @@ def q_web_pagerank_weighted(spark, sf_dir):
         .distinct()
         .count()
     )
-    ranks, _log = pagerank(wg, tol=0.0, max_iter=10, check_every=10, weight="wt")
+    ranks, _log = pagerank(wg, tol=0.0, max_iter=10, check_every=10, weight="wt",
+                        broadcast_state=True)
     return ranks.select(
         F.col("v").alias("url"),
         F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n"),
@@ -3111,7 +3113,8 @@ def q_web_host_pagerank(spark, sf_dir):
         .distinct()
         .count()
     )
-    ranks, _log = pagerank(wg, tol=0.0, max_iter=10, check_every=10, weight="wt")
+    ranks, _log = pagerank(wg, tol=0.0, max_iter=10, check_every=10, weight="wt",
+                        broadcast_state=True)
     return ranks.select(
         F.col("v").alias("host"),
         F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_n"),
