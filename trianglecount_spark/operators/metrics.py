@@ -220,7 +220,13 @@ def bfs_distances(
     ``i−1`` against the edge table (the frontier), then folds candidates
     into the visited set with a min-agg — on a first reach the distance
     is already minimal (BFS level order), so the visited set only grows
-    and count stability is the fixpoint."""
+    and count stability is the fixpoint.
+
+    The frontier is vertex-sized (a slice of the visited set) while the
+    edge table is edge-sized: the frontier broadcasts onto the pinned
+    edge table, so each expansion is shuffle-free on the edge side (at
+    a 10^12-url frontier, swap the broadcast for a shuffle join)."""
+    sym_edges = sym_edges.localCheckpoint(eager=False)  # one round-loop pin
     spark = sym_edges.sparkSession
     init = spark.range(1).select(
         F.lit(source).cast("long").alias("v"), F.lit(0).cast("long").alias("dist")
@@ -230,7 +236,7 @@ def bfs_distances(
         # iterate() passes i = 0, 1, ...; round i expands the vertices
         # first discovered in the previous round (dist == i)
         frontier = state.where(F.col("dist") == i)
-        nxt = frontier.join(
+        nxt = F.broadcast(frontier).join(
             sym_edges.withColumnRenamed("src", "v"), "v"
         ).select(F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist"))
         return (
@@ -264,8 +270,12 @@ def sssp_distances(
     oracle) lands on identical values even on graphs whose weighted
     diameter exceeds ``rounds``. Each round is one key-partitioned join
     (state onto edge src) + one min-agg on dst + one left-join fold —
-    the same shuffle keys every round, so AQE reuses the partitioning."""
+    the same shuffle keys every round, so AQE reuses the partitioning.
+    The distance state is vertex-sized: it broadcasts onto the pinned
+    edge table (shuffle join at the 10^12-vertex regime), so the relax
+    join ships no edge bytes per round."""
     INF = 1 << 40
+    weighted_edges = weighted_edges.localCheckpoint(eager=False)
     verts = (
         weighted_edges.select(F.col("src").alias("v"))
         .unionByName(weighted_edges.select(F.col("dst").alias("v")))
@@ -282,7 +292,10 @@ def sssp_distances(
     def step(state: DataFrame, i: int) -> DataFrame:
         relax = (
             weighted_edges.join(
-                state.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src"
+                F.broadcast(
+                    state.select(F.col("v").alias("src"), F.col("d").alias("ds"))
+                ),
+                "src",
             )
             .groupBy("dst")
             .agg(F.min(F.col("ds") + F.col(weight_col)).alias("md"))
