@@ -450,7 +450,8 @@ def shortest_path_counts(
     for d in range(1, rounds + 1):
         frontier = state.where(F.col("dist") == d - 1)
         cand = (
-            frontier.join(sym_edges.withColumnRenamed("src", "v"), "v")
+            F.broadcast(frontier)  # vertex-sized; see bfs_distances
+            .join(sym_edges.withColumnRenamed("src", "v"), "v")
             .select(F.col("dst").alias("v"), F.col("sigma"))
             .join(state.select(F.col("v")), "v", "left_anti")
             .groupBy("v")
