@@ -204,6 +204,44 @@ def test_link_prediction_jaccard_goldens(spark):
     assert link_prediction_jaccard(p, min_common=2).count() == 0
 
 
+def test_link_prediction_hub_cap(spark):
+    """max_center_degree drops exactly the wedge centers above the cap —
+    the capped score equals the uncapped score on the graph with those
+    hubs' wedges removed, and tau >= max degree is a no-op."""
+    from trianglecount_spark.operators.metrics import (
+        link_prediction_jaccard,
+        link_prediction_ra,
+    )
+
+    # star center 0 (deg 4) + a square among the leaves: center 0 is the
+    # hub; capping at 3 removes its C(4,2) wedges but keeps the square's
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+    sym = _sym(spark, edges)
+    full = {(r.u, r.w): r.common for r in
+            link_prediction_jaccard(sym, min_common=1).collect()}
+    capped = {(r.u, r.w): r.common for r in
+              link_prediction_jaccard(sym, min_common=1,
+                                      max_center_degree=3).collect()}
+    # uncapped: diagonals (1,3), (2,4) have 3 common nbrs (0 + 2 square)
+    assert full == {(1, 3): 3, (2, 4): 3}
+    # capped at 3: center 0 (deg 4) is dropped; every leaf has deg 3 and
+    # still contributes its wedges -> counts drop by exactly center 0's
+    assert capped == {(1, 3): 2, (2, 4): 2}
+    # tau >= max degree is the exact form
+    noop = {(r.u, r.w): r.common for r in
+            link_prediction_jaccard(sym, min_common=1,
+                                    max_center_degree=4).collect()}
+    assert noop == full
+    # RA: same center set rule; capped drops center 0's 1/4 contribution
+    ra_full = {(r.u, r.w): r.ra_millionths for r in
+               link_prediction_ra(sym, min_common=1).collect()}
+    ra_capped = {(r.u, r.w): r.ra_millionths for r in
+                 link_prediction_ra(sym, min_common=1,
+                                    max_center_degree=3).collect()}
+    assert ra_full == {(1, 3): 250000 + 2 * 333333, (2, 4): 250000 + 2 * 333333}
+    assert ra_capped == {(1, 3): 2 * 333333, (2, 4): 2 * 333333}
+
+
 def test_degree_assortativity_goldens(spark):
     import numpy as np
 

@@ -609,12 +609,36 @@ def q_graph_summary(spark, sf_dir):
 def q_link_prediction(spark, sf_dir):
     """Common-neighbor / Jaccard link prediction on the copurchase
     graph (operators/metrics.py): non-adjacent part pairs sharing ≥ 12
-    co-purchase neighbors (~130k pairs at sf0.01), scored by
-    neighborhood Jaccard. Integer counts + one double division — exact
-    oracle, no rounding."""
+    co-purchase neighbors among wedge centers of degree ≤ 150, scored
+    by neighborhood Jaccard. Integer counts + one double division —
+    exact oracle, no rounding.
+
+    The τ=150 hub-center cap is the engine-side Σ C(d,2) mitigation
+    (r2 verdict #1, metrics._wedge_centers): the oracle applies the
+    identical center-degree filter, so the capped score is itself an
+    exact cross-engine contract (measured 2.3× at sf0.1; the uncapped
+    τ=None form stays the default API and is bruteforce-checked in
+    tests/test_property.py and q_link_prediction_exact)."""
     from trianglecount_spark.operators.metrics import link_prediction_jaccard
 
-    return link_prediction_jaccard(copurchase_sym(spark, sf_dir), min_common=12)
+    return link_prediction_jaccard(
+        copurchase_sym(spark, sf_dir), min_common=12, max_center_degree=150
+    )
+
+
+def q_link_prediction_exact(spark, sf_dir):
+    """The UNCAPPED (τ=None) Jaccard link prediction — the exact
+    classical score over every wedge center, kept registered so the
+    capped production contract (q_link_prediction) and the exact form
+    are BOTH oracle-gated. Runs on the smaller events co-occurrence
+    graph: exactness is scale-free, and the full Σ C(d,2) stream on
+    the flagship graph belongs to the capped plan."""
+    from trianglecount_spark.operators.canonicalize import canonicalize_edges
+    from trianglecount_spark.operators.metrics import link_prediction_jaccard
+
+    return link_prediction_jaccard(
+        canonicalize_edges(events_pairs(spark, sf_dir)), min_common=8
+    )
 
 
 def q_clique4(spark, sf_dir):
@@ -1590,10 +1614,16 @@ def q_stress_copurchase(spark, sf_dir):
 def q_link_prediction_ra(spark, sf_dir):
     """Resource-allocation link prediction in exact millionths
     (1000000 div deg(center), BIGINT sum) — the hub-damping local
-    similarity index, aggregation-order-proof cross-engine."""
+    similarity index, aggregation-order-proof cross-engine. Same τ=150
+    hub-center cap + matching oracle filter as q_link_prediction
+    (metrics._wedge_centers); under RA the capped contract is doubly
+    natural — a center above the cap contributes < 1/150 of a
+    millionth-unit per pair, the scores the index itself damps."""
     from trianglecount_spark.operators.metrics import link_prediction_ra
 
-    return link_prediction_ra(copurchase_sym(spark, sf_dir), min_common=12)
+    return link_prediction_ra(
+        copurchase_sym(spark, sf_dir), min_common=12, max_center_degree=150
+    )
 
 
 def q_lineitem_q6_sql(spark, sf_dir):
@@ -3575,6 +3605,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_suppliers": q_butterflies_suppliers,
         "graph_summary": q_graph_summary,
         "link_prediction": q_link_prediction,
+        "link_prediction_exact": q_link_prediction_exact,
         "events_attribution": q_events_attribution,
         "events_error_overlap": q_events_error_overlap,
         "clique4": q_clique4,
@@ -4875,7 +4906,7 @@ o AS (
         + (
             ", ctr AS (SELECT e.src AS v, e.dst AS u, "
             "CAST(1000000 // d.deg AS BIGINT) AS ra_part "
-            "FROM und e JOIN deg d ON d.v = e.src), "
+            "FROM und e JOIN deg d ON d.v = e.src WHERE d.deg <= 150), "
             "cn AS (SELECT c.u, e2.dst AS w, count(*) AS common, "
             "CAST(sum(c.ra_part) AS BIGINT) AS ra_millionths "
             "FROM ctr c JOIN und e2 ON e2.src = c.v AND c.u < e2.dst "
@@ -5250,8 +5281,24 @@ o AS (
         "link_prediction": _CP
         + (
             ", cn AS (SELECT e1.dst AS u, e2.dst AS w, count(*) AS common "
-            "FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+            "FROM und e1 JOIN deg dc ON dc.v = e1.src AND dc.deg <= 150 "
+            "JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst "
             "GROUP BY 1, 2 HAVING count(*) >= 12), "
+            "cand AS (SELECT cn.u, cn.w, cn.common FROM cn "
+            "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
+            "WHERE e.src IS NULL) "
+            "SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common, "
+            "CAST(c.common AS DOUBLE) / (du.deg + dw.deg - c.common) AS jaccard "
+            "FROM cand c JOIN deg du ON du.v = c.u JOIN deg dw ON dw.v = c.w"
+        ),
+        "link_prediction_exact": _EV
+        + (
+            ", und AS (SELECT src, dst FROM p "
+            "UNION ALL SELECT dst AS src, src AS dst FROM p), "
+            "deg AS (SELECT dst AS v, count(*) AS deg FROM und GROUP BY 1), "
+            "cn AS (SELECT e1.dst AS u, e2.dst AS w, count(*) AS common "
+            "FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+            "GROUP BY 1, 2 HAVING count(*) >= 8), "
             "cand AS (SELECT cn.u, cn.w, cn.common FROM cn "
             "LEFT JOIN und e ON e.src = cn.u AND e.dst = cn.w "
             "WHERE e.src IS NULL) "
