@@ -10,7 +10,7 @@ local[$SPARK_GRAFT_CPUS]:
   components   — connected components (large-star/small-star)
   minhash_lsh  — MinHash-LSH near-dup candidates over documents
   emb_knn      — exact cosine top-5 over embeddings (matmul scan kernel)
-  emb_neardup  — exact all-pairs cosine near-dup (blocked matmul)
+  emb_neardup  — LSH-candidate cosine near-dup (bucket join + exact verify)
   web_e2e      — flagship: pages(html) → mined edges → url dictionary →
                  canonicalize → orient → triangle count
 
@@ -142,11 +142,11 @@ def main() -> None:
     qs = emb.where(F.col("vec_id") < 100)
     bench("emb_knn", lambda: cosine_topk_bruteforce(qs, emb, k=5).count())
 
-    from trianglecount_spark.operators.knn import cosine_allpairs_blocked
+    from trianglecount_spark.operators.knn import cosine_neardup_lsh
 
     bench(
         "emb_neardup",
-        lambda: cosine_allpairs_blocked(emb, threshold=0.5, n_blocks=8).count(),
+        lambda: cosine_neardup_lsh(emb, threshold=0.3).count(),
     )
     derived["neardup_pairs"] = results["emb_neardup"]
 

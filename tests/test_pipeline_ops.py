@@ -146,6 +146,42 @@ def test_allpairs_blocked_exact_and_blocking_invariant(emb):
     assert (0, 21) in want  # the planted pair is present
 
 
+def test_neardup_lsh_subset_and_planted_recall(emb):
+    """The LSH near-dup route returns a SUBSET of the exact blocked
+    all-pairs result (exact verify on candidates — no false positives),
+    finds the planted near-identical pair (high-cosine pairs collide
+    with overwhelming probability), and its sims match the exact form's
+    on every pair it returns."""
+    from trianglecount_spark.operators.knn import (
+        cosine_allpairs_blocked,
+        cosine_neardup_lsh,
+    )
+
+    df, _ = emb
+    exact = {
+        (r.a, r.b): r.sim
+        for r in cosine_allpairs_blocked(df, threshold=0.9, n_blocks=4).collect()
+    }
+    got = {
+        (r.a, r.b): r.sim
+        for r in cosine_neardup_lsh(
+            df, threshold=0.9, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    assert (0, 21) in got  # planted near-dup collides and verifies
+    for pair, sim in got.items():
+        assert sim == pytest.approx(exact[pair], abs=1e-6)
+    # determinism: a second run returns the identical pair set
+    again = {
+        (r.a, r.b)
+        for r in cosine_neardup_lsh(
+            df, threshold=0.9, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert again == set(got)
+
+
 def test_ivf_topk_finds_planted_neighbor(emb):
     df, _ = emb
     got = ivf_topk(df.where(F.col("vec_id") == 0), df, k=3, n_centroids=4, n_probe=2).collect()

@@ -186,6 +186,61 @@ def cosine_allpairs_blocked(
     return out
 
 
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs via the PORTABLE-LSH candidate join —
+    the sub-quadratic scale path: ``a, b, sim`` (a < b) for candidate
+    pairs sharing ≥ 1 (table, bucket) whose exact cosine (rounded to
+    ``round_to``) is ≥ ``threshold``.
+
+    Plan shape: one bucket-assignment pass (Arrow kernel, integer
+    arithmetic), ONE self equi-join on (table, bucket) carrying only
+    (id, table, bucket) — vectors do NOT travel through the bucket
+    fan-out — then a pair dedupe and two id-joins to fetch the vectors
+    for the exact-verify cosine on candidates only. Work is Σ
+    bucket_size² per table instead of N²: with uniform md5-derived
+    planes the buckets are balanced, and n_planes tunes the expected
+    bucket size (2^planes buckets/table).
+
+    Contract note (regime switch): this is the production near-dup
+    contract — recall vs the exact form is the LSH collision
+    probability (1−(1−(1−θ/π)^planes)^tables per pair), NOT 1.0; the
+    candidate set is itself deterministic and engine-reproducible
+    (md5 signs + integer quantization, see ``lsh_buckets``), so an
+    oracle reproduces the SAME pairs bit-for-bit. For small corpora or
+    when exactness is required, use ``cosine_allpairs_blocked`` (exact,
+    O(N²/B) blocked matmul — fine to ~10⁶ vectors, quadratic beyond)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    buckets = lsh_buckets(df, id_col, vec_col, n_planes, n_tables, dim).select(
+        "id", "table", "bucket"
+    )
+    left = buckets.select(F.col("id").alias("a"), "table", "bucket")
+    right = buckets.select(F.col("id").alias("b"), "table", "bucket")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qv"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("cv"))
+    sims = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", F.round(_cosine_expr(), round_to).alias("sim"))
+    )
+    return sims.where(F.col("sim") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # portable (engine-reproducible) LSH
 # ---------------------------------------------------------------------------

@@ -2392,15 +2392,36 @@ def q_emb_label_spreading(spark, sf_dir):
 
 
 def q_emb_neardup_pairs(spark, sf_dir):
-    """Exact cosine near-dup pairs via BLOCKED all-pairs matmul: B·(B+1)/2
-    block-pair tasks, one numpy matmul each — no row-level cross join, no
-    per-element SQL lambdas (the r1 form burned 45 s on 2k vectors; this
-    is the same exact result, distributed over block tasks). The
-    sub-quadratic scale path is the LSH bucket join (emb_knn_lsh)."""
+    """Embedding near-dup pairs via the PORTABLE-LSH candidate join +
+    exact verify on candidates (knn.cosine_neardup_lsh) — the
+    sub-quadratic production contract (r2 verdict #2): work is Σ
+    bucket_size² per table, never N². The candidate set is
+    deterministic integer arithmetic (md5 ±1 planes on floor(v·1000)),
+    so the DuckDB oracle reproduces the SAME pairs bit-for-bit.
+    Threshold 0.3: the driver's synthetic embeddings have no planted
+    near-dups, and 0.3 yields a meaty hash-gate row set (~90 at
+    sf0.01). The exact small-N path stays gated as emb_neardup_exact."""
+    from trianglecount_spark.operators.knn import cosine_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_lsh(
+        emb, threshold=0.3, n_planes=_LSH_P, n_tables=_LSH_T
+    )
+
+
+def q_emb_neardup_exact(spark, sf_dir):
+    """Exact cosine near-dup pairs via BLOCKED all-pairs matmul:
+    B·(B+1)/2 block-pair tasks, one numpy matmul each — no row-level
+    cross join, no per-element SQL lambdas (the r1 form burned 45 s on
+    2k vectors). REGIME SWITCH: this is the small-N / oracle path —
+    exact but O(N²/B); at corpus scale the registered near-dup contract
+    is the LSH candidate join (q_emb_neardup_pairs). Threshold 0.5: the
+    tightest that yields rows on the synthetic embeddings AND whose
+    round(sim, 6) boundary has no numpy-vs-DuckDB summation-order
+    stragglers (0.4/0.45 each put 1-2 pairs exactly on the 6th-decimal
+    boundary where np.round half-even and dot order diverge)."""
     from trianglecount_spark.operators.knn import cosine_allpairs_blocked
 
-    # 0.5: the driver's synthetic embeddings have no planted near-dups —
-    # the tightest threshold that still yields rows for the hash gate.
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_allpairs_blocked(emb, threshold=0.5, n_blocks=8)
 
@@ -3663,6 +3684,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_spreading": q_emb_label_spreading,
         "emb_balanced_sample": q_emb_balanced_sample,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        "emb_neardup_exact": q_emb_neardup_exact,
         "web_text_extraction": q_web_text_extraction,
         "web_edges_mined": q_web_edges_mined,
         "web_vertex_dict": q_web_vertex_dict,
@@ -4331,12 +4353,12 @@ und AS MATERIALIZED (
 """
 
 
-def _lsh_sql(n_planes: int = 8, n_tables: int = 4, k: int = 5) -> str:
-    """DuckDB replica of operators/knn.py portable LSH: identical ±1
-    md5-derived planes, identical integer quantization — the bucket
-    assignment is a sum of int64 products, order-independent, so both
-    engines produce the SAME buckets bit-for-bit. Exact cosine + top-k
-    on the candidate set."""
+def _lsh_buckets_sql(n_planes: int, n_tables: int) -> str:
+    """Shared DuckDB replica of operators/knn.py portable LSH buckets:
+    identical ±1 md5-derived planes, identical integer quantization —
+    the bucket assignment is a sum of int64 products, order-independent,
+    so both engines produce the SAME (vec_id, t, bucket) set
+    bit-for-bit. Prefix for _lsh_sql and the emb_neardup_pairs oracle."""
     return f"""
 WITH planes AS MATERIALIZED (
   SELECT t, p, d,
@@ -4362,7 +4384,13 @@ buckets AS MATERIALIZED (
   SELECT vec_id, t,
          CAST(sum(bit * (1::BIGINT << CAST(p AS INT))) AS BIGINT) AS bucket
   FROM bits GROUP BY vec_id, t
-),
+)"""
+
+
+def _lsh_sql(n_planes: int = 8, n_tables: int = 4, k: int = 5) -> str:
+    """Exact cosine + top-k on the portable-LSH candidate set (see
+    _lsh_buckets_sql for the bit-for-bit bucket parity argument)."""
+    return _lsh_buckets_sql(n_planes, n_tables) + f""",
 cand AS (
   SELECT DISTINCT qb.vec_id AS q, cb.vec_id AS nbr
   FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
@@ -4380,6 +4408,30 @@ r AS (SELECT q, nbr, sim,
              row_number() OVER (PARTITION BY q ORDER BY sim DESC, nbr ASC) AS rk
       FROM s)
 SELECT q, nbr, round(sim, 6) AS sim FROM r WHERE rk <= {k}
+"""
+
+
+def _neardup_lsh_sql(
+    threshold: float, n_planes: int = 8, n_tables: int = 4
+) -> str:
+    """DuckDB replica of knn.cosine_neardup_lsh: the SAME portable LSH
+    buckets (see _lsh_buckets_sql), candidate pairs from any shared
+    (table, bucket), exact cosine rounded to 6 on candidates only."""
+    return _lsh_buckets_sql(n_planes, n_tables) + f""",
+cand AS (
+  SELECT DISTINCT qb.vec_id AS a, cb.vec_id AS b
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < cb.vec_id
+),
+s AS (
+  SELECT c.a, c.b,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+)
+SELECT a, b, sim FROM s WHERE sim >= {threshold}
 """
 
 
@@ -5720,7 +5772,8 @@ o AS (
             "AS BIGINT) AS rk FROM embeddings) "
             "SELECT vec_id, label, rk FROM r WHERE rk <= 20"
         ),
-        "emb_neardup_pairs": (
+        "emb_neardup_pairs": _neardup_lsh_sql(0.3, _LSH_P, _LSH_T),
+        "emb_neardup_exact": (
             "WITH a AS (SELECT vec_id AS a, embedding AS qv FROM embeddings), "
             "b AS (SELECT vec_id AS b, embedding AS cv FROM embeddings) "
             f"SELECT a, b, round({cos}, 6) AS sim FROM a, b "
