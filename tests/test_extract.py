@@ -187,6 +187,8 @@ def test_pii_scrub_goldens(spark):
         (0, "no pii here at all"),
         (1, "mail a.b+c@mail3.example or b@x.io now"),
         (2, "call +1 415 555 0134 or +44 020 555 9999 today"),
+        (5, "dial 415-555-0134 or (415) 555-0134 or 415.555.0134 ok"),
+        (6, "order 4155550134 ref 12345 date 123-45 time 1234 567 89012"),
         (3, "ssn 123-45-6789 ip 10.2.3.44 mixed a@b.co +1 200 555 0000"),
         (4, "edge 999.999.999.999 and 1.2.3.4.5 and x@y"),
     ]
@@ -206,3 +208,9 @@ def test_pii_scrub_goldens(spark):
     # octets match; bare x@y lacks a TLD and is not an email
     assert out[4]["n_email"] == 0
     assert out[4]["n_ipv4"] == 2
+    # separated NANP forms all match; unseparated runs deliberately do
+    # not (shape heuristic — see functions/pii.py recall-limits note)
+    assert out[5]["n_phone"] == 3
+    assert out[5]["redacted"] == "dial <PHONE> or <PHONE> or <PHONE> ok"
+    assert out[6]["n_phone"] == 0
+    assert out[6]["redacted"].startswith("order 4155550134")

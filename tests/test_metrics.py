@@ -58,6 +58,39 @@ def test_bfs_distances_goldens(spark):
     assert got2 == {0: 0, 1: 1}
 
 
+def test_frontier_ops_shuffle_fallback_parity(spark):
+    """broadcast_state=False (the 10^12-vertex regime where a forced
+    broadcast would hard-fail) returns results identical to the
+    broadcast default for BFS, SSSP, and shortest-path counting."""
+    from pyspark.sql import functions as F
+
+    from trianglecount_spark.operators.metrics import (
+        bfs_distances,
+        shortest_path_counts,
+        sssp_distances,
+    )
+
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (1, 4)])
+    b1, _ = bfs_distances(sym, 0, max_rounds=8)
+    b2, _ = bfs_distances(sym, 0, max_rounds=8, broadcast_state=False)
+    assert {(r.v, r.dist) for r in b1.collect()} == {
+        (r.v, r.dist) for r in b2.collect()
+    }
+
+    we = sym.withColumn("w", F.col("src") % 3 + 1)
+    s1, _ = sssp_distances(we, 0, rounds=5)
+    s2, _ = sssp_distances(we, 0, rounds=5, broadcast_state=False)
+    assert {(r.v, r.d) for r in s1.collect()} == {
+        (r.v, r.d) for r in s2.collect()
+    }
+
+    c1 = shortest_path_counts(sym, 0, rounds=4)
+    c2 = shortest_path_counts(sym, 0, rounds=4, broadcast_state=False)
+    assert {(r.v, r.dist, r.sigma) for r in c1.collect()} == {
+        (r.v, r.dist, r.sigma) for r in c2.collect()
+    }
+
+
 def test_personalized_pagerank_allclose_numpy(spark):
     import numpy as np
 

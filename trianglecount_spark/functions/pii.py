@@ -29,6 +29,23 @@ embed an SSN-shaped suffix; applying the more specific patterns first
 makes the composition deterministic. Replacement tokens are
 ``<CLASS>`` sentinels, the convention training pipelines use so the
 tokenizer sees a single stable symbol.
+
+RECALL LIMITS — read before treating this as a production scrubber:
+these are SHAPE heuristics in the restricted dialect, tuned for
+deterministic cross-engine replay, not recall. Phone matches
+NANP/intl forms with an optional +CC, parenthesized or bare 3-digit
+area code, and space/dot/dash separators (``415-555-0134``,
+``(415) 555-0134``, ``+1 415 555 0134``) but NOT unseparated runs
+(``4155550134`` — redacting bare 10-digit runs would eat ids and
+timestamps), extensions, or non-NANP groupings; IPv4 is shape-only
+(no 0-255 range check); there is no NER fallback for names/addresses.
+COUNTS vs REDACTION: ``pii_counts`` runs each class pattern on the
+RAW text independently, while ``pii_redact`` applies classes
+sequentially — when spans of different classes overlap, a count can
+disagree with the number of sentinels emitted (e.g. a phone-shaped
+span inside an email is counted by the phone counter but redacted as
+part of the email). The counts are per-class audit signals, not a
+parse of the redacted output.
 """
 
 from __future__ import annotations
@@ -39,7 +56,10 @@ from pyspark.sql import functions as F
 # class -> (pattern, replacement); dict order IS the redaction order
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "phone": (r"\+\d{1,2} \d{3} \d{3} \d{4}", "<PHONE>"),
+    "phone": (
+        r"(?:\+\d{1,2}[ .-]?)?(?:\(\d{3}\) ?|\b\d{3}[ .-])\d{3}[ .-]\d{4}\b",
+        "<PHONE>",
+    ),
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
 }

@@ -8,9 +8,11 @@ output on every run and any partitioning (the property the correctness
 gate needs; asynchronous LPA is run-order dependent).
 
 Physical shape per round: the label state is VERTEX-sized while the
-work table is EDGE-sized, so the state ships to the edges — broadcast
-by default (``broadcast_state``; right up to ~10M vertices, shuffle
-join beyond — the 10^12-url regime). The symmetric edge table is
+work table is EDGE-sized, so the state ships to the edges — a shuffle
+join by default, a forced broadcast with ``broadcast_state=True``
+(opt-in, right up to ~10M vertices; beyond that — the 10^12-url
+regime — the forced broadcast would hard-fail, which is why False is
+the default, matching ``pagerank``). The symmetric edge table is
 hash-partitioned on dst ONCE up front; the broadcast join preserves
 it, and HashPartitioning(dst) satisfies the (v, label) clustering the
 frequency aggregate needs (subset rule), so a round's edge-sized work
@@ -33,9 +35,16 @@ def label_propagation(
     check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
-    broadcast_state: bool = True,
+    broadcast_state: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
-    """LPA over an undirected edge list. Returns (``v, label``, log)."""
+    """LPA over an undirected edge list. Returns (``v, label``, log).
+
+    ``broadcast_state`` defaults False (shuffle join — safe at any
+    vertex count), matching ``pagerank``'s conservative default; opt in
+    at call sites where the label state is known to fit an executor
+    (≲10M vertices — the gate/bench graphs do, see plans/queries.py),
+    where the forced broadcast makes each round's edge-side join
+    shuffle-free."""
     pin = F.broadcast if broadcast_state else (lambda df: df)
     sym = (
         edges.select("src", "dst")

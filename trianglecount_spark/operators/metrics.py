@@ -249,7 +249,10 @@ def butterfly_count(
 
 
 def bfs_distances(
-    sym_edges: DataFrame, source: int, max_rounds: int = 32
+    sym_edges: DataFrame,
+    source: int,
+    max_rounds: int = 32,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, IterationLog]:
     """Single-source BFS shortest-path distances over a symmetric edge
     table: ``v, dist`` for every vertex reachable from ``source``.
@@ -262,8 +265,11 @@ def bfs_distances(
 
     The frontier is vertex-sized (a slice of the visited set) while the
     edge table is edge-sized: the frontier broadcasts onto the pinned
-    edge table, so each expansion is shuffle-free on the edge side (at
-    a 10^12-url frontier, swap the broadcast for a shuffle join)."""
+    edge table by default, so each expansion is shuffle-free on the
+    edge side. ``broadcast_state=False`` swaps in a shuffle join — the
+    10^12-url regime where a frontier can exceed the broadcast limit
+    (same opt-out as pagerank/label_propagation/core_numbers)."""
+    pin = F.broadcast if broadcast_state else (lambda df: df)
     sym_edges = sym_edges.localCheckpoint(eager=False)  # one round-loop pin
     spark = sym_edges.sparkSession
     init = spark.range(1).select(
@@ -274,7 +280,7 @@ def bfs_distances(
         # iterate() passes i = 0, 1, ...; round i expands the vertices
         # first discovered in the previous round (dist == i)
         frontier = state.where(F.col("dist") == i)
-        nxt = F.broadcast(frontier).join(
+        nxt = pin(frontier).join(
             sym_edges.withColumnRenamed("src", "v"), "v"
         ).select(F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist"))
         return (
@@ -296,6 +302,7 @@ def sssp_distances(
     source: int,
     weight_col: str = "w",
     rounds: int = 8,
+    broadcast_state: bool = True,
 ) -> tuple[DataFrame, IterationLog]:
     """Weighted single-source shortest paths: ``rounds`` synchronous
     Bellman–Ford relaxations over a directed weighted edge table
@@ -310,8 +317,11 @@ def sssp_distances(
     (state onto edge src) + one min-agg on dst + one left-join fold —
     the same shuffle keys every round, so AQE reuses the partitioning.
     The distance state is vertex-sized: it broadcasts onto the pinned
-    edge table (shuffle join at the 10^12-vertex regime), so the relax
-    join ships no edge bytes per round."""
+    edge table by default, so the relax join ships no edge bytes per
+    round; ``broadcast_state=False`` swaps in the shuffle join for the
+    10^12-vertex regime where a |V|-row state exceeds the broadcast
+    limit (same opt-out as pagerank/label_propagation)."""
+    pin = F.broadcast if broadcast_state else (lambda df: df)
     INF = 1 << 40
     weighted_edges = weighted_edges.localCheckpoint(eager=False)
     verts = (
@@ -330,9 +340,7 @@ def sssp_distances(
     def step(state: DataFrame, i: int) -> DataFrame:
         relax = (
             weighted_edges.join(
-                F.broadcast(
-                    state.select(F.col("v").alias("src"), F.col("d").alias("ds"))
-                ),
+                pin(state.select(F.col("v").alias("src"), F.col("d").alias("ds"))),
                 "src",
             )
             .groupBy("dst")
@@ -460,7 +468,10 @@ def clique4_count(oriented: DataFrame) -> DataFrame:
 
 
 def shortest_path_counts(
-    sym_edges: DataFrame, source: int, rounds: int = 6
+    sym_edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    broadcast_state: bool = True,
 ) -> DataFrame:
     """Shortest-path COUNTING from one source — the exact-integer
     forward pass of Brandes' betweenness: ``v, dist, sigma`` where
@@ -476,7 +487,12 @@ def shortest_path_counts(
     (The backward delta-accumulation of full betweenness divides
     sigma values — order-dependent float sums — so this exact pass is
     the principled oracle-checkable unit; sampled betweenness composes
-    it with a driver-side accumulation in tests if ever needed.)"""
+    it with a driver-side accumulation in tests if ever needed.)
+
+    ``broadcast_state=False`` swaps the frontier broadcast for a
+    shuffle join (10^12-url frontiers — same opt-out as
+    pagerank/label_propagation/bfs_distances)."""
+    pin = F.broadcast if broadcast_state else (lambda df: df)
     # pinned once: every level joins the frontier against `sym_edges`
     sym_edges = sym_edges.localCheckpoint(eager=False)
     spark = sym_edges.sparkSession
@@ -488,7 +504,7 @@ def shortest_path_counts(
     for d in range(1, rounds + 1):
         frontier = state.where(F.col("dist") == d - 1)
         cand = (
-            F.broadcast(frontier)  # vertex-sized; see bfs_distances
+            pin(frontier)  # vertex-sized; see bfs_distances
             .join(sym_edges.withColumnRenamed("src", "v"), "v")
             .select(F.col("dst").alias("v"), F.col("sigma"))
             .join(state.select(F.col("v")), "v", "left_anti")

@@ -177,16 +177,23 @@ def strongly_connected_components(
     max_prop: int = 60,
     chain: int = 1,
     local_edges: int = 2_000_000,
+    local_bytes: int = 256 << 20,
 ) -> DataFrame:
     """``edges(src, dst)`` directed (any orderable vertex type; self-loops
     ignored). Returns ``(v, scc)``, scc = min vertex id in the SCC.
 
     ``local_edges``: once the trimmed core has at most this many edges
     it is collected and finished with Tarjan (Multistep serial step);
-    0 forces the fully distributed path. ``chain``: coloring-fallback
-    rounds composed lazily per job (module docstring) — 1 (default)
-    checks convergence every round; raise to 4-8 on real clusters where
-    job-launch latency dominates cheap rounds."""
+    0 forces the fully distributed path. The collect is additionally
+    gated on ``local_bytes`` — an ESTIMATED payload bound (row count ×
+    measured mean endpoint width), because with string url vertices
+    2M edges can be hundreds of MB of driver memory where 2M longs are
+    ~32 MB; the rows stream to the driver via ``toLocalIterator`` (one
+    partition resident at a time, never a full JVM-side copy alongside
+    the Python lists). ``chain``: coloring-fallback rounds composed
+    lazily per job (module docstring) — 1 (default) checks convergence
+    every round; raise to 4-8 on real clusters where job-launch latency
+    dominates cheap rounds."""
     g = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -223,11 +230,25 @@ def strongly_connected_components(
 
         # --- local finish: Tarjan on the collected core -----------------
         if n_edges <= local_edges:
-            pdf = g.toPandas()
-            rows = _tarjan_local(pdf["src"].tolist(), pdf["dst"].tolist())
-            return done.unionByName(
-                spark.createDataFrame(rows, out_schema)
-            ).localCheckpoint(eager=True)
+            # byte gate: estimate the collect payload from the measured
+            # mean endpoint width (string urls vs longs differ ~10x)
+            est = g.select(
+                (
+                    F.avg(F.length(F.col("src").cast("string")))
+                    + F.avg(F.length(F.col("dst").cast("string")))
+                    + F.lit(16.0)
+                ).alias("row_bytes")
+            ).collect()[0]["row_bytes"]
+            if n_edges * (est or 16.0) <= local_bytes:
+                srcs: list = []
+                dsts: list = []
+                for row in g.toLocalIterator(prefetchPartitions=False):
+                    srcs.append(row[0])
+                    dsts.append(row[1])
+                rows = _tarjan_local(srcs, dsts)
+                return done.unionByName(
+                    spark.createDataFrame(rows, out_schema)
+                ).localCheckpoint(eager=True)
 
         # --- pivot FW-BW: extract SCC(max-out-degree vertex) ------------
         pivot = (

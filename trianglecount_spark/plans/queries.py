@@ -979,7 +979,9 @@ def q_lpa_copurchase(spark, sf_dir):
     chained CTEs — exact label-for-label comparison. (The engine may
     early-stop at a fixpoint; a fixpoint is stable under further rounds,
     so both sides agree.)"""
-    labels, _ = label_propagation(copurchase_sym(spark, sf_dir), max_iter=10)
+    labels, _ = label_propagation(
+        copurchase_sym(spark, sf_dir), max_iter=10, broadcast_state=True
+    )
     return labels
 
 
@@ -1105,7 +1107,7 @@ def q_modularity_lpa(spark, sf_dir):
     two shuffle label joins on the edge table (labels are |V|-sized —
     never broadcast at crawl scale) + one hash agg per side."""
     sym = copurchase_sym(spark, sf_dir)
-    labels, _ = label_propagation(sym, max_iter=2)
+    labels, _ = label_propagation(sym, max_iter=2, broadcast_state=True)
     m2 = sym.count()  # 2m: each undirected edge appears twice
     deg = sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("deg"))
     dc = (
@@ -1182,7 +1184,9 @@ def q_lpa_nation(spark, sf_dir):
     """Synchronous LPA, exactly oracle-checked: on a clique the
     deterministic (freq desc, label asc) rule converges every member to
     the clique minimum — same closed form as CC."""
-    labels, _ = label_propagation(nation_clique_edges(spark, sf_dir), max_iter=10)
+    labels, _ = label_propagation(
+        nation_clique_edges(spark, sf_dir), max_iter=10, broadcast_state=True
+    )
     return labels
 
 
