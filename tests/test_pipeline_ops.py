@@ -146,6 +146,30 @@ def test_allpairs_blocked_exact_and_blocking_invariant(emb):
     assert (0, 21) in want  # the planted pair is present
 
 
+def test_topk_join_form_matches_collected_form(emb):
+    """The large-Q block-join ANN form returns BIT-IDENTICAL rows to
+    the collected-probe-set form (same exact integer arithmetic, no
+    driver collect) — the documented regime switch for query sets that
+    don't fit the driver."""
+    from trianglecount_spark.operators.knn import (
+        cosine_topk_quantized,
+        cosine_topk_quantized_join,
+    )
+
+    df, _ = emb
+    collected = {
+        (r.q, r.nbr, r.dot) for r in cosine_topk_quantized(df, df, k=3).collect()
+    }
+    joined = {
+        (r.q, r.nbr, r.dot)
+        for r in cosine_topk_quantized_join(
+            df, df, k=3, n_query_blocks=3, n_corpus_blocks=4
+        ).collect()
+    }
+    assert joined == collected
+    assert collected  # non-trivial fixture
+
+
 def test_neardup_lsh_subset_and_planted_recall(emb):
     """The LSH near-dup route returns a SUBSET of the exact blocked
     all-pairs result (exact verify on candidates — no false positives),
@@ -203,6 +227,33 @@ def test_multimodal_stub_and_fake_path(spark):
     # deterministic
     again = {r.media_id: r.features for r in fake_image_features(media, dim=16).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_decode_image_real_when_pil_present(spark):
+    """Real decode path — green where PIL exists, cleanly skipped
+    otherwise (this container ships no codec libraries)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from trianglecount_spark.operators.multimodal import decode_image
+
+    bufs = []
+    for mid, (w, h, color) in enumerate(
+        [(64, 48, (255, 0, 0)), (10, 10, (0, 128, 255))]
+    ):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        bufs.append((mid, "image", bytearray(buf.getvalue()), {}))
+    bufs.append((9, "image", bytearray(b"not a png"), {}))
+    media = spark.createDataFrame(
+        bufs, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = {r.media_id: r for r in decode_image(media, thumb=(4, 4)).collect()}
+    assert (out[0].width, out[0].height, out[0].ok) == (64, 48, True)
+    assert len(out[0].thumb) == 4 * 4 * 3
+    assert abs(out[0].thumb[0] - 1.0) < 1e-6  # solid red, R channel
+    assert (out[1].width, out[1].height, out[1].ok) == (10, 10, True)
+    assert out[9].ok is False and out[9].thumb == []  # corrupt bytes filter
 
 
 def test_frame_sample_plan(spark):

@@ -108,7 +108,7 @@ def main() -> None:
 
     sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
     sym.count()
-    if job != "pagerank10":
+    if not job.startswith("pagerank10"):
         oriented = orient(sym).cache()
         out["n_oriented_edges"] = oriented.count()
         sym.unpersist()
@@ -144,14 +144,35 @@ def main() -> None:
                 sym, tol=0.0, max_iter=10, check_every=10, dangling_free=True
             )
             ranks.count()
+        elif job == "pagerank10bc":
+            # broadcast-state regime (r2 operators): the |V|-row rank
+            # state broadcasts onto the pinned edge table each round —
+            # shuffle-free on the edge side; the rank state fits an
+            # executor at these sizes (2M vertices)
+            ranks, _ = pagerank(
+                sym,
+                tol=0.0,
+                max_iter=10,
+                check_every=10,
+                dangling_free=True,
+                broadcast_state=True,
+            )
+            ranks.count()
         else:
             raise SystemExit(f"unknown job {job}")
 
     try:
         # pagerank's 10 rounds amortize their own JIT warmup; a 2-round
         # mini-run still pre-compiles the per-round plan shapes
-        if job == "pagerank10":
-            w, _ = pagerank(sym, tol=0.0, max_iter=2, check_every=2, dangling_free=True)
+        if job.startswith("pagerank10"):
+            w, _ = pagerank(
+                sym,
+                tol=0.0,
+                max_iter=2,
+                check_every=2,
+                dangling_free=True,
+                broadcast_state=(job == "pagerank10bc"),
+            )
             w.count()
             reps = min(reps, 2)
         else:

@@ -497,7 +497,11 @@ def cosine_topk_quantized(
     engine, so ranking and values hash-match a SQL oracle with no
     summation-order caveat. Zero-norm vectors (cosine undefined, 0/0)
     are excluded on both sides rather than left to engine-specific NaN
-    ordering."""
+    ordering.
+
+    REGIME SWITCH: the collected probe set bounds Q at driver memory —
+    for table-sized query sets use ``cosine_topk_quantized_join``
+    (block-pair fan-out, no driver collect, bit-identical results)."""
     # zero-norm vectors have no direction: cosine would be 0/0 = NaN,
     # which Spark's isfinite filter and a SQL engine's NaN ordering
     # treat DIFFERENTLY — exclude them on BOTH sides (the oracle
@@ -544,6 +548,90 @@ def cosine_topk_quantized(
     partials = qc.withColumnRenamed(id_col, "vec_id").mapInPandas(
         partial, schema="q long, nbr long, dot long, sim double"
     )
+    return _topk(partials, k)
+
+
+def cosine_topk_quantized_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
+) -> DataFrame:
+    """LARGE-Q form of ``cosine_topk_quantized``: identical results
+    (exact int8-quantized top-k, same output schema ``q, nbr, dot,
+    sim``), but the query set NEVER touches the driver — use when the
+    probe set is itself table-sized (the collected form holds Q·dim
+    ints on the driver and in every task closure; fine for 10²–10⁴
+    probes, not for a corpus-vs-corpus run).
+
+    Plan shape: both sides are hash-packed into blocks (one Arrow row
+    per block, ids+vectors+norms as parallel lists — the
+    ``cosine_allpairs_blocked`` packing), the B_q × B_c block pairs fan
+    out through one cross-join of two tiny block tables, each task
+    runs one numpy int64 matmul and keeps the per-block top-k per
+    query (everything tied with the k-th value survives, so the global
+    resolve is exact), then one global top-k window over ≤ B_c·k·Q
+    survivor rows. Work is the same O(Q·N·d) flops as the collected
+    form — distributed over block pairs instead of broadcast —
+    and every value is the same exact integer arithmetic, so the two
+    forms return bit-identical rows (asserted in tests)."""
+    qq = (
+        quantize_int8_vectors(queries, id_col, vec_col)
+        .where(F.col("qn2") > 0)
+        .groupBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias("qblk")
+        )
+        .agg(
+            F.collect_list(id_col).alias("q_ids"),
+            F.collect_list("qvec").alias("q_vecs"),
+            F.collect_list("qn2").alias("q_n2"),
+        )
+    )
+    qc = (
+        quantize_int8_vectors(corpus, id_col, vec_col)
+        .where(F.col("qn2") > 0)
+        .groupBy(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_blocks)).alias("cblk")
+        )
+        .agg(
+            F.collect_list(id_col).alias("c_ids"),
+            F.collect_list("qvec").alias("c_vecs"),
+            F.collect_list("qn2").alias("c_n2"),
+        )
+    )
+    pairs = qq.crossJoin(qc)
+
+    def emit(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                qid = np.asarray(row["q_ids"], dtype=np.int64)
+                Qm = np.stack([np.asarray(v, dtype=np.int64) for v in row["q_vecs"]])
+                sq = np.sqrt(np.asarray(row["q_n2"], dtype=np.float64))
+                cid = np.asarray(row["c_ids"], dtype=np.int64)
+                C = np.stack([np.asarray(v, dtype=np.int64) for v in row["c_vecs"]])
+                sc = np.sqrt(np.asarray(row["c_n2"], dtype=np.float64))
+                D = Qm @ C.T  # exact: |dot| <= dim * 127^2 << 2^53
+                S = D / (sq[:, None] * sc[None, :])
+                S[qid[:, None] == cid[None, :]] = -np.inf
+                kk = min(k, S.shape[1])
+                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                kth = S[np.arange(len(qid))[:, None], part].min(axis=1)
+                keep_q, keep_c = np.where(S >= kth[:, None])
+                sims = S[keep_q, keep_c]
+                ok = np.isfinite(sims)
+                yield pd.DataFrame(
+                    {
+                        "q": qid[keep_q[ok]],
+                        "nbr": cid[keep_c[ok]],
+                        "dot": D[keep_q[ok], keep_c[ok]],
+                        "sim": sims[ok],
+                    }
+                )
+
+    partials = pairs.mapInPandas(emit, schema="q long, nbr long, dot long, sim double")
     return _topk(partials, k)
 
 

