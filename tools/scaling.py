@@ -264,6 +264,40 @@ def main() -> None:
             *tab2,
             "",
         ]
+    crossover = os.path.join(REPO, "BENCH", "tc_crossover.json")
+    if os.path.exists(crossover):
+        with open(crossover) as f:
+            cx = json.load(f)
+        lines += [
+            "## TC strategy crossover (local[32], tools/tc_crossover.py)",
+            "",
+            "The three triangle-count strategies on the same power-law family at "
+            "increasing size (fresh JVM per cell, best-of-reps). Strategy rule this "
+            "table backs: the ARRAYS strategy (JVM sort_array + array_intersect) "
+            "wins while per-vertex adjacency stays cache-sized; the KERNEL "
+            "(applyInArrow CSR) takes over as adjacency volume grows (numpy "
+            "intersection amortizes); the pure JOIN form trails both but is the "
+            "all-shuffle plan whose scaling the two-cluster criterion constrains.",
+            "",
+            "| edges | vertices | tc_join s | tc_arrays s | tc_kernel s | fastest |",
+            "|---|---|---|---|---|---|",
+        ]
+        for key in sorted(cx, key=lambda k: int(k.split("x")[0])):
+            e, v = key.split("x")
+            cells = cx[key]
+            secs = {j: cells[j]["seconds"] for j in cells if "seconds" in cells[j]}
+            if not secs:
+                continue
+            best = min(secs, key=secs.get)
+            lines.append(
+                f"| {int(e):,} | {int(v):,} | "
+                + " | ".join(
+                    f"{secs[j]:.1f}" if j in secs else "—"
+                    for j in ("tc_join", "tc_arrays", "tc_kernel")
+                )
+                + f" | {best} |"
+            )
+        lines.append("")
     lines += [
         "Raw JSON:",
         "```json",
