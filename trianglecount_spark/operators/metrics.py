@@ -113,11 +113,15 @@ def _wedge_centers(
     ShareKernelTCV62_update_v1.cu:100-173): wedge volume is Σ C(d,2),
     quadratic in hub degree, and ``min_common`` bounds only the OUTPUT —
     dropping wedge centers above ``max_center_degree`` bounds the WORK
-    at C(τ,2) per center BEFORE the self-join fans out (the broadcast
-    degree filter prunes the probe side inside the scan, so capped hub
-    adjacency rows are never shuffled). The capped score is a
+    at C(τ,2) per center BEFORE the self-join fans out (the degree
+    filter prunes the probe side ahead of the wedge join, so capped hub
+    adjacency rows never reach it). The capped score is a
     deterministic, engine-reproducible contract (the oracle applies the
-    identical degree filter); τ=None is the exact form.
+    identical degree filter); τ=None is the exact form. The degree
+    join carries NO forced broadcast hint: the (v, deg) table is
+    vertex-sized — AQE broadcasts it while it fits (it does at every
+    test scale) and falls back to a shuffle join at the 10^12-vertex
+    regime where a forced hint would hard-fail.
 
     Measured at sf0.1 (copurchase, min_common=12, warm best-of-2):
     uncapped 21.2 s → τ=150 9.1 s — the heavy tail above the cap holds
@@ -128,9 +132,7 @@ def _wedge_centers(
     while the self-join keeps wedge generation inside whole-stage
     codegen. The join IS the vectorized form here.)"""
     centered = sym_edges.join(
-        F.broadcast(
-            deg.select(F.col("v").alias("src"), F.col("deg").alias("cdeg"))
-        ),
+        deg.select(F.col("v").alias("src"), F.col("deg").alias("cdeg")),
         "src",
     )
     if max_center_degree is not None:
