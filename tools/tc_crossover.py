@@ -34,11 +34,11 @@ OUT = os.path.join(REPO, "BENCH", "tc_crossover.json")
 CPUS = 32
 STRATEGIES = ["tc_join", "tc_arrays", "tc_kernel"]
 # (edges, vertices): degree scale held ~constant (E/V ~= 80) so size is
-# the only axis; the last point is ~40x the sf0.1 sweep graph
+# the only axis; the last point is ~27x the sf0.1 sweep graph
 SIZES = [
     (4_000_000, 50_000),
     (16_000_000, 200_000),
-    (48_000_000, 600_000),
+    (32_000_000, 400_000),
 ]
 
 
