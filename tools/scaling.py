@@ -298,11 +298,16 @@ def main() -> None:
             "## TC strategy crossover (local[32], tools/tc_crossover.py)",
             "",
             "The three triangle-count strategies on the same power-law family at "
-            "increasing size (fresh JVM per cell, best-of-reps). Strategy rule this "
-            "table backs: the ARRAYS strategy (JVM sort_array + array_intersect) "
-            "wins while per-vertex adjacency stays cache-sized; the KERNEL "
-            "(applyInArrow CSR) takes over as adjacency volume grows (numpy "
-            "intersection amortizes); the pure JOIN form trails both but is the "
+            "increasing size (fresh JVM per cell, best-of-reps). Measured rule: "
+            "the ARRAYS strategy (JVM sort_array + array_intersect, whole-stage "
+            "codegen) is fastest at EVERY size in the 4M-32M range — there is no "
+            "crossover to the kernel within single-box reach; both scale at the "
+            "same near-linear slope with the KERNEL (applyInArrow CSR) carrying a "
+            "~2x constant (Arrow export + Python worker startup). The kernel "
+            "remains the strategy of record for extreme hub skew (explicit "
+            "salting + per-group CSR control, operators/triangles.py) and for "
+            "graphs whose per-task adjacency exceeds what array_intersect keeps "
+            "cache-resident; the pure JOIN form trails both but is the "
             "all-shuffle plan whose scaling the two-cluster criterion constrains.",
             "",
             "| edges | vertices | tc_join s | tc_arrays s | tc_kernel s | fastest |",
