@@ -113,24 +113,22 @@ def _wedge_centers(
     ShareKernelTCV62_update_v1.cu:100-173): wedge volume is Σ C(d,2),
     quadratic in hub degree, and ``min_common`` bounds only the OUTPUT —
     dropping wedge centers above ``max_center_degree`` bounds the WORK
-    at C(τ,2) per center BEFORE the self-join fans out (the degree
-    filter prunes the probe side ahead of the wedge join, so capped hub
-    adjacency rows never reach it). The capped score is a
-    deterministic, engine-reproducible contract (the oracle applies the
-    identical degree filter); τ=None is the exact form. The degree
-    join carries NO forced broadcast hint: the (v, deg) table is
-    vertex-sized — AQE broadcasts it while it fits (it does at every
-    test scale) and falls back to a shuffle join at the 10^12-vertex
-    regime where a forced hint would hard-fail.
+    at C(τ,2) per center BEFORE the wedge expansion. The capped score
+    is a deterministic, engine-reproducible contract (the oracle
+    applies the identical degree filter); τ=None is the exact form.
+    The degree join carries NO forced broadcast hint: the (v, deg)
+    table is vertex-sized — AQE broadcasts it while it fits (it does at
+    every test scale) and falls back to a shuffle join at the
+    10^12-vertex regime where a forced hint would hard-fail.
 
-    Measured at sf0.1 (copurchase, min_common=12, warm best-of-2):
-    uncapped 21.2 s → τ=150 9.1 s — the heavy tail above the cap holds
-    ~60% of the wedge volume. (Also measured and rejected this round:
-    an Arrow/numpy C(d,2) pair-expansion kernel over collected
-    adjacency lists — 23.1 s uncapped / 12.5 s capped; the pair stream
-    must cross the Arrow boundary row-by-row into the same (u, w) agg,
-    while the self-join keeps wedge generation inside whole-stage
-    codegen. The join IS the vectorized form here.)"""
+    Honest-measurement note (r3): on the sf0.1 copurchase graph the
+    degree histogram is FLAT (median 119, max 222 — a co-occurrence
+    projection, not a power law), so τ=150 removes only ~19% of the
+    148M-wedge volume; the cap is a hub-graph control, not a win here.
+    The r3 profile showed the wedge JOIN itself is cheap (4 s for 120M
+    rows) and the (u, w) pair AGGREGATION is the real cost — see
+    ``_pair_counts`` for the two aggregation regimes and their
+    measured times."""
     centered = sym_edges.join(
         deg.select(F.col("v").alias("src"), F.col("deg").alias("cdeg")),
         "src",
@@ -142,10 +140,218 @@ def _wedge_centers(
     )
 
 
+def _pair_counts(
+    sym_edges: DataFrame,
+    deg: DataFrame,
+    min_common: int,
+    max_center_degree: int | None,
+    broadcast_adjacency: bool,
+    with_ra: bool = True,
+) -> DataFrame:
+    """Common-neighbor pair counts ``(u, w, common, ra_millionths)`` for
+    u < w — the shared engine under both link-prediction scores
+    (``common`` drives Jaccard; ``ra_millionths`` is Σ 1000000 div
+    deg(center), the resource-allocation numerator — computing both in
+    one pass costs one extra int64 column).
+
+    Two physical regimes, both exact and bit-identical:
+
+    ``broadcast_adjacency=False`` (default — the all-shuffle plan):
+    wedge self-join on the center, then ``repartition('u')`` BEFORE the
+    pair aggregation. The repartition matters: HashPartitioning on
+    ``u`` satisfies the groupBy(u, w) clustering requirement (u is a
+    subset of the group key), so the agg runs as ONE hash aggregate per
+    partition instead of partial→shuffle→final over a ~100M-distinct-
+    key stream whose partial pass collapses nothing and spills both
+    sides (measured at sf0.1 copurchase, 120M wedges / ~100M distinct
+    pairs, local[32]: plain groupBy 167 s → repartition-first 42 s).
+    Works at any scale — nothing is collected or broadcast.
+
+    ``broadcast_adjacency=True`` (the shared-graph kernel, the same
+    regime family as the reference's shared-memory tiling,
+    ShareKernelTCV62_update_v1.cu:100-173): the capped-center adjacency
+    is collected to a driver CSR (three int64 arrays, O(E_capped) ≈
+    24 B/directed edge — 19 MB at sf0.1) and broadcast; the only
+    shuffle is a repartition of the E-row ``(v, u)`` edge stream by
+    ``u``. Each task expands its rows' strict-suffix neighbor pairs
+    vectorized in numpy and aggregates them locally (one flat-integer
+    sort over packed ``(u_rank << 32) | w_rank`` keys — see the kernel
+    comment): because ALL rows of a given u sit in one partition, the
+    per-(u, w) counts are complete in-task and the ``min_common``
+    filter drops ~100% of the pair stream BEFORE anything is emitted —
+    no 120M-row shuffle, no JVM hash table at all (measured at sf0.1,
+    jaccard pair-count pass: 5.2 s warm / 23.8 s single-shot where the
+    gap is Python-worker-pool + broadcast + Arrow cold-start, vs
+    41.7 s for the shuffle form). Regime
+    bound: E_capped ≤ |V|·τ int64s must broadcast (~8 GB at 10^9
+    capped directed edges); past that, use the shuffle form.
+
+    ``ra_millionths`` sums per-center integer weights ≤ 10^6 with ≤
+    max-degree terms per pair — far inside float64's 2^53 exact-integer
+    range in the kernel's bincount, emitted as int64; both regimes and
+    the SQL oracle agree bit-for-bit."""
+    centered = _wedge_centers(sym_edges, deg, max_center_degree)
+    if not broadcast_adjacency:
+        e1 = centered.select(
+            "v", "u", F.expr("1000000 div cdeg").cast("long").alias("ra_part")
+        )
+        e2 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        return (
+            e1.join(e2, "v")
+            .where(F.col("u") < F.col("w"))
+            .repartition("u")
+            .groupBy("u", "w")
+            .agg(
+                F.count("*").alias("common"),
+                F.sum("ra_part").cast("long").alias("ra_millionths"),
+            )
+            .where(F.col("common") >= min_common)
+        )
+
+    import numpy as np
+
+    spark = sym_edges.sparkSession
+    # Driver CSR of the capped-center adjacency, neighbor-sorted within
+    # each center: ONE Arrow collect of (v, sorted nbrs) rows —
+    # O(E_capped) — flattened via the Arrow list offsets (the same
+    # offsets-ARE-the-CSR identity the triangle kernel uses), no
+    # per-row Python objects.
+    adj_tbl = (
+        centered.groupBy("v")
+        .agg(F.sort_array(F.collect_list("u")).alias("nbrs"))
+        .orderBy("v")
+        .toArrow()
+        .combine_chunks()
+    )
+    centers = adj_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    lists = adj_tbl.column("nbrs").chunk(0) if adj_tbl.num_rows else None
+    if lists is not None:
+        loffs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = loffs - loffs[0]
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        degs = np.diff(offs)
+    else:
+        offs = np.zeros(1, dtype=np.int64)
+        flat = np.zeros(0, dtype=np.int64)
+        degs = np.zeros(0, dtype=np.int64)
+    ra_w = (1_000_000 // degs) if len(degs) else degs
+    bc = spark.sparkContext.broadcast((centers, offs, flat, ra_w))
+    mc = int(min_common)
+
+    def expand(batches):
+        import pyarrow as pa
+
+        cent, off, nb, raw = bc.value
+        # Rank the neighbor universe once per task. (center_index,
+        # nbr_rank) packs into a globally increasing flat key, so the
+        # flat CSR position of (v, u) — and with it u's strict suffix
+        # in N(v) — comes from ONE vectorized searchsorted instead of a
+        # per-row loop; and (u_rank << 32) | w_rank packs each pair
+        # into ONE uint64, so the whole per-task aggregation is a
+        # single flat-integer sort (np.sort is ~20x a two-key lexsort
+        # here; requires |neighbor universe| < 2^32 — implied by the
+        # broadcast regime bound). Counts come from boundary diffs and
+        # the RA sum from a cumsum picked at boundaries — both O(n)
+        # vectorized; np.add.reduceat measured ~50x slower at the ~70%
+        # distinct-key density this stream has.
+        nd = np.unique(nb)
+        nrank = np.searchsorted(nd, nb).astype(np.uint64)
+        ckey = (
+            np.repeat(np.arange(len(cent), dtype=np.int64), np.diff(off))
+            * len(nd)
+            + nrank.astype(np.int64)
+            if len(nb)
+            else np.zeros(0, dtype=np.int64)
+        )
+        keys, ras = [], []
+        for b in batches:
+            v = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            u = b.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(v):
+                continue
+            ci = np.searchsorted(cent, v)
+            urank = np.searchsorted(nd, u)
+            j = np.searchsorted(ckey, ci * len(nd) + urank)
+            start, end = j + 1, off[ci + 1]
+            reps = end - start
+            keep = reps > 0
+            start, reps = start[keep], reps[keep]
+            uhi = urank[keep].astype(np.uint64) << np.uint64(32)
+            rak = raw[ci[keep]]
+            if not len(reps):
+                continue
+            cum = np.zeros(len(reps) + 1, dtype=np.int64)
+            np.cumsum(reps, out=cum[1:])
+            # Chunk rows so one expansion's temporaries stay ≤ ~16M
+            # pairs even under uncapped hub rows (same bounded-
+            # temporary discipline as the triangle kernel).
+            lo = 0
+            while lo < len(reps):
+                hi = int(
+                    np.searchsorted(cum, cum[lo] + 16_000_000, side="left")
+                )
+                hi = max(hi, lo + 1)
+                r_c, s_c = reps[lo:hi], start[lo:hi]
+                c_c = cum[lo : hi + 1] - cum[lo]
+                # Strict-suffix expansion (arange-minus-repeat, the
+                # same trick as the triangle kernel's wedge expansion).
+                ar = np.arange(c_c[-1], dtype=np.int64) - np.repeat(
+                    c_c[:-1], r_c
+                )
+                wrank = nrank[np.repeat(s_c, r_c) + ar]
+                keys.append(np.repeat(uhi[lo:hi], r_c) | wrank)
+                if with_ra:
+                    ras.append(np.repeat(rak[lo:hi], r_c))
+                lo = hi
+        if not keys:
+            return
+        k = np.concatenate(keys)
+        if with_ra:
+            # RA needs per-pair weights aligned through the sort — the
+            # weighted path pays an argsort. Sums are exact: every
+            # partial cumsum is an integer < 2^53.
+            rr = np.concatenate(ras).astype(np.float64)
+            order = np.argsort(k, kind="stable")
+            k, rr = k[order], rr[order]
+        else:
+            k = np.sort(k)
+        bnd = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        cnt = np.diff(np.concatenate((bnd, [len(k)])))
+        if with_ra:
+            csum = np.cumsum(rr)
+            ends = np.concatenate((bnd[1:], [len(k)])) - 1
+            ra = np.diff(np.concatenate(([0.0], csum[ends])))
+        else:
+            ra = np.zeros(len(bnd))
+        m = cnt >= mc
+        ku = k[bnd][m]
+        yield pa.record_batch(
+            [
+                pa.array(nd[(ku >> np.uint64(32)).astype(np.int64)]),
+                pa.array(nd[(ku & np.uint64(0xFFFFFFFF)).astype(np.int64)]),
+                pa.array(cnt[m].astype(np.int64)),
+                pa.array(np.rint(ra[m]).astype(np.int64)),
+            ],
+            names=["u", "w", "common", "ra_millionths"],
+        )
+
+    # Explicit partition count: a column-only repartition of this tiny
+    # E-row stream would be AQE-coalesced to a handful of 64MB-advisory
+    # partitions, serializing the kernel (measured 10-15 tasks on 32
+    # cores); the EXPANSION is the work, not the shuffled bytes, so pin
+    # one partition per core slot.
+    n_parts = spark.sparkContext.defaultParallelism
+    stream = centered.select("v", "u").repartition(n_parts, "u")
+    return stream.mapInArrow(
+        expand, "u long, w long, common long, ra_millionths long"
+    )
+
+
 def link_prediction_jaccard(
     sym_edges: DataFrame,
     min_common: int = 2,
     max_center_degree: int | None = None,
+    broadcast_adjacency: bool = False,
 ) -> DataFrame:
     """Common-neighbor link prediction over a symmetric edge table:
     non-adjacent pairs ``u < w`` with ≥ ``min_common`` shared neighbors
@@ -153,35 +359,36 @@ def link_prediction_jaccard(
     None — the exact classical score), scored by neighborhood Jaccard
     cn / (deg(u) + deg(w) − cn). Output ``u, w, common, jaccard``.
 
-    Shape: one wedge self-join on the center vertex, one hash agg on
-    the pair key, an anti-join against the edge set, two degree joins.
-    ``common`` and both degrees are exact integers and jaccard is one
-    double division of them — bit-reproducible, no rounding in the
-    oracle.
+    The pair counting runs in ``_pair_counts``, which owns the two
+    physical regimes and their measured costs (sf0.1 copurchase, 120M
+    wedges, local[32]: shuffle form 41.7 s; broadcast-CSR kernel 23.8 s
+    single-shot / 5.2 s warm —
+    opt in with ``broadcast_adjacency=True`` while the capped adjacency
+    fits the broadcast bound, the conservative-default convention of
+    pagerank/lpa/core_numbers). On top of the counts: an anti-join
+    against the edge set and two degree joins — all on the ≥min_common
+    survivors, a vanishing fraction of the wedge stream. ``common`` and
+    both degrees are exact integers and jaccard is one double division
+    of them — bit-reproducible, no rounding in the oracle.
 
     Scale: wedge volume is Σ C(d,2) — quadratic in hub degree, and
     orientation can NOT prune it (every center sees all its neighbor
-    pairs). ``max_center_degree`` is the engine-side control: see
-    ``_wedge_centers`` (measured 2.3× at sf0.1 with τ=150; the cap
-    bounds work per center, ``min_common`` bounds only the output).
+    pairs). ``max_center_degree`` bounds the WORK per center at C(τ,2)
+    (see ``_wedge_centers``; ``min_common`` bounds only the output).
 
-    The eager pin below is a measured 3.4x at sf0.1 (315s -> 94s): the
-    wedge self-join otherwise re-derives the edge table on BOTH sides.
-    (Also measured and rejected: generating the C(d,2) pairs with SQL
-    higher-order functions over collected adjacency arrays — 313s; the
-    combination expansion is interpreted per element, the same trap as
-    per-element cosine lambdas.)"""
+    The eager pin below keeps the wedge self-join of the shuffle form
+    from re-deriving the edge table on both sides, and feeds the
+    kernel's one collect + one repartition from materialized rows."""
     sym_edges = sym_edges.localCheckpoint(eager=True)
     deg = degrees(sym_edges)
-    e1 = _wedge_centers(sym_edges, deg, max_center_degree).select("v", "u")
-    e2 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    cn = (
-        e1.join(e2, "v")
-        .where(F.col("u") < F.col("w"))
-        .groupBy("u", "w")
-        .agg(F.count("*").alias("common"))
-        .where(F.col("common") >= min_common)
-    )
+    cn = _pair_counts(
+        sym_edges,
+        deg,
+        min_common,
+        max_center_degree,
+        broadcast_adjacency,
+        with_ra=False,
+    ).drop("ra_millionths")
     existing = sym_edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("w")
     )
@@ -582,6 +789,7 @@ def link_prediction_ra(
     sym_edges: DataFrame,
     min_common: int = 2,
     max_center_degree: int | None = None,
+    broadcast_adjacency: bool = False,
 ) -> DataFrame:
     """Resource-allocation link prediction: non-adjacent pairs ``u < w``
     scored by RA(u,w) = Σ_{v ∈ CN(u,w)} 1/deg(v) — the Zhou-Lü-Zhang
@@ -592,31 +800,19 @@ def link_prediction_ra(
     aggregation-order-independent and reproduces bit-for-bit in any
     engine — no float summation anywhere.
 
-    Same physical shape as ``link_prediction_jaccard``: one wedge
-    self-join on the center vertex, one pair-key hash agg, one
-    anti-join against the edge set. The center's degree joins BEFORE
-    the wedge expansion (a broadcast-sized (v, deg) table at any
-    scale ≪ the wedge stream), so each wedge row already carries its
-    millionths contribution into the partial aggregate — and the same
-    broadcast join applies the ``max_center_degree`` hub cap (see
-    ``_wedge_centers``) before the fan-out. The wedge stream is
-    Σ C(d,2) regardless of ``min_common``; the cap bounds it at C(τ,2)
-    per center — exact when None."""
+    Same engine as ``link_prediction_jaccard``: the shared
+    ``_pair_counts`` pass computes ``common`` and ``ra_millionths``
+    together (each wedge row's millionths weight is a function of its
+    CENTER's degree, so the kernel reads it straight off the broadcast
+    CSR and the shuffle form joins it before the fan-out), then one
+    anti-join against the edge set on the ≥min_common survivors. The
+    wedge stream is Σ C(d,2) regardless of ``min_common``; the
+    ``max_center_degree`` cap bounds it at C(τ,2) per center — exact
+    when None. Regime choice and measured costs: ``_pair_counts``."""
     sym_edges = sym_edges.localCheckpoint(eager=True)  # see jaccard note
     deg = degrees(sym_edges)
-    centered = _wedge_centers(sym_edges, deg, max_center_degree).select(
-        "v", "u", F.expr("1000000 div cdeg").cast("long").alias("ra_part")
-    )
-    e2 = sym_edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    cn = (
-        centered.join(e2, "v")
-        .where(F.col("u") < F.col("w"))
-        .groupBy("u", "w")
-        .agg(
-            F.count("*").alias("common"),
-            F.sum("ra_part").cast("long").alias("ra_millionths"),
-        )
-        .where(F.col("common") >= min_common)
+    cn = _pair_counts(
+        sym_edges, deg, min_common, max_center_degree, broadcast_adjacency
     )
     existing = sym_edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("w")

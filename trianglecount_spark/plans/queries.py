@@ -616,13 +616,20 @@ def q_link_prediction(spark, sf_dir):
     The τ=150 hub-center cap is the engine-side Σ C(d,2) mitigation
     (r2 verdict #1, metrics._wedge_centers): the oracle applies the
     identical center-degree filter, so the capped score is itself an
-    exact cross-engine contract (measured 2.3× at sf0.1; the uncapped
-    τ=None form stays the default API and is bruteforce-checked in
-    tests/test_property.py and q_link_prediction_exact)."""
+    exact cross-engine contract (the uncapped τ=None form stays the
+    default API and is bruteforce-checked in tests/test_property.py
+    and q_link_prediction_exact). Runs the broadcast-CSR kernel regime
+    (metrics._pair_counts; sweep single-shot 19.7 s — was 40.0 s in r2
+    — vs 41.7 s shuffle form at sf0.1) —
+    the capped adjacency is ≤ |V|·τ int64s, far inside the broadcast
+    bound at every test scale."""
     from trianglecount_spark.operators.metrics import link_prediction_jaccard
 
     return link_prediction_jaccard(
-        copurchase_sym(spark, sf_dir), min_common=12, max_center_degree=150
+        copurchase_sym(spark, sf_dir),
+        min_common=12,
+        max_center_degree=150,
+        broadcast_adjacency=True,
     )
 
 
@@ -637,7 +644,9 @@ def q_link_prediction_exact(spark, sf_dir):
     from trianglecount_spark.operators.metrics import link_prediction_jaccard
 
     return link_prediction_jaccard(
-        canonicalize_edges(events_pairs(spark, sf_dir)), min_common=8
+        canonicalize_edges(events_pairs(spark, sf_dir)),
+        min_common=8,
+        broadcast_adjacency=True,
     )
 
 
@@ -1626,7 +1635,10 @@ def q_link_prediction_ra(spark, sf_dir):
     from trianglecount_spark.operators.metrics import link_prediction_ra
 
     return link_prediction_ra(
-        copurchase_sym(spark, sf_dir), min_common=12, max_center_degree=150
+        copurchase_sym(spark, sf_dir),
+        min_common=12,
+        max_center_degree=150,
+        broadcast_adjacency=True,
     )
 
 
