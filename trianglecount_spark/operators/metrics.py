@@ -235,34 +235,45 @@ def _pair_counts(
         flat = np.zeros(0, dtype=np.int64)
         degs = np.zeros(0, dtype=np.int64)
     ra_w = (1_000_000 // degs) if len(degs) else degs
-    bc = spark.sparkContext.broadcast((centers, offs, flat, ra_w))
+    bc = spark.sparkContext.broadcast(
+        {"cent": centers, "off": offs, "nb": flat, "raw": ra_w}
+    )
     mc = int(min_common)
 
     def expand(batches):
         import pyarrow as pa
 
-        cent, off, nb, raw = bc.value
-        # Rank the neighbor universe once per task. (center_index,
-        # nbr_rank) packs into a globally increasing flat key, so the
-        # flat CSR position of (v, u) — and with it u's strict suffix
-        # in N(v) — comes from ONE vectorized searchsorted instead of a
-        # per-row loop; and (u_rank << 32) | w_rank packs each pair
-        # into ONE uint64, so the whole per-task aggregation is a
-        # single flat-integer sort (np.sort is ~20x a two-key lexsort
-        # here; requires |neighbor universe| < 2^32 — implied by the
-        # broadcast regime bound). Counts come from boundary diffs and
-        # the RA sum from a cumsum picked at boundaries — both O(n)
-        # vectorized; np.add.reduceat measured ~50x slower at the ~70%
+        d = bc.value
+        cent, off, nb, raw = d["cent"], d["off"], d["nb"], d["raw"]
+        # Rank the neighbor universe once per PYTHON WORKER, not per
+        # task: workers are reused and the broadcast manager caches the
+        # unpickled value per worker, so derived arrays memoized onto
+        # it survive across tasks (one task at a time per worker — no
+        # race). Broadcasting them instead would 3x the broadcast bytes
+        # — the regime's binding constraint — to save re-derivable
+        # O(E log E) vectorized work. (center_index, nbr_rank) packs
+        # into a globally increasing flat key, so the flat CSR position
+        # of (v, u) — and with it u's strict suffix in N(v) — comes
+        # from ONE vectorized searchsorted instead of a per-row loop;
+        # and (u_rank << 32) | w_rank packs each pair into ONE uint64,
+        # so the whole per-task aggregation is a single flat-integer
+        # sort (np.sort is ~20x a two-key lexsort here; requires
+        # |neighbor universe| < 2^32 — implied by the broadcast regime
+        # bound). Counts come from boundary diffs and the RA sum from a
+        # cumsum picked at boundaries — both O(n) vectorized;
+        # np.add.reduceat measured ~50x slower at the ~70%
         # distinct-key density this stream has.
-        nd = np.unique(nb)
-        nrank = np.searchsorted(nd, nb).astype(np.uint64)
-        ckey = (
-            np.repeat(np.arange(len(cent), dtype=np.int64), np.diff(off))
-            * len(nd)
-            + nrank.astype(np.int64)
-            if len(nb)
-            else np.zeros(0, dtype=np.int64)
-        )
+        if "nd" not in d:
+            d["nd"] = np.unique(nb)
+            d["nrank"] = np.searchsorted(d["nd"], nb).astype(np.uint64)
+            d["ckey"] = (
+                np.repeat(np.arange(len(cent), dtype=np.int64), np.diff(off))
+                * len(d["nd"])
+                + d["nrank"].astype(np.int64)
+                if len(nb)
+                else np.zeros(0, dtype=np.int64)
+            )
+        nd, nrank, ckey = d["nd"], d["nrank"], d["ckey"]
         keys, ras = [], []
         for b in batches:
             v = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
