@@ -11,6 +11,8 @@ local[$SPARK_GRAFT_CPUS]:
   minhash_lsh  — MinHash-LSH near-dup candidates over documents
   emb_knn      — exact cosine top-5 over embeddings (matmul scan kernel)
   emb_neardup  — LSH-candidate cosine near-dup (bucket join + exact verify)
+  linkpred     — capped common-neighbor link prediction (broadcast-CSR
+                 pair-count kernel, operators/metrics._pair_counts)
   web_e2e      — flagship: pages(html) → mined edges → url dictionary →
                  canonicalize → orient → triangle count
 
@@ -149,6 +151,18 @@ def main() -> None:
         lambda: cosine_neardup_lsh(emb, threshold=0.3).count(),
     )
     derived["neardup_pairs"] = results["emb_neardup"]
+
+    from trianglecount_spark.operators.metrics import link_prediction_jaccard
+
+    # broadcast-CSR pair-count kernel (r3): capped common-neighbor
+    # link prediction, the registered-query contract (τ=150, mc=12)
+    bench(
+        "linkpred",
+        lambda: link_prediction_jaccard(
+            sym, min_common=12, max_center_degree=150, broadcast_adjacency=True
+        ).count(),
+    )
+    derived["linkpred_pairs"] = results["linkpred"]
 
     from trianglecount_spark.functions.extract import edges_from_pages
     from trianglecount_spark.operators.canonicalize import canonicalize_edges, orient

@@ -40,7 +40,7 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-JOBS = ["tc_arrays", "tc_join", "pagerank10", "tc_kernel", "pagerank10bc"]
+JOBS = ["tc_arrays", "tc_join", "pagerank10", "tc_kernel", "pagerank10bc", "linkpred"]
 # SPARK_GRAFT_SCALING_JOBS=tc_arrays,tc_kernel re-measures a subset; the
 # report is regenerated from the merged per-pair caches either way.
 RUN_JOBS = [
@@ -58,6 +58,7 @@ SIZES = {
         "pagerank10": (32_000_000, 2_000_000),
         "pagerank10bc": (32_000_000, 2_000_000),
         "tc_kernel": (16_000_000, 200_000),
+        "linkpred": (8_000_000, 400_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),
@@ -65,6 +66,7 @@ SIZES = {
         "pagerank10": (32_000_000, 2_000_000),
         "pagerank10bc": (32_000_000, 2_000_000),
         "tc_kernel": (16_000_000, 200_000),
+        "linkpred": (16_000_000, 800_000),
     },
 }
 

@@ -108,7 +108,7 @@ def main() -> None:
 
     sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
     sym.count()
-    if not job.startswith("pagerank10"):
+    if not job.startswith("pagerank10") and job != "linkpred":
         oriented = orient(sym).cache()
         out["n_oriented_edges"] = oriented.count()
         sym.unpersist()
@@ -138,6 +138,24 @@ def main() -> None:
                 .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
                 .collect()[0]["t"]
             )
+        elif job == "linkpred":
+            # broadcast-CSR pair-count kernel (r3 operators/metrics.py
+            # _pair_counts): the capped adjacency broadcasts, the only
+            # shuffle is the E-row repartition by wedge endpoint, and
+            # the per-task packed-key sorts are all-parallel work — the
+            # shape the two-cluster criterion constrains. τ caps the
+            # power-law hubs (Σ C(d,2) is quadratic in hub degree); the
+            # capped score is the registered-query contract.
+            from trianglecount_spark.operators.metrics import (
+                link_prediction_jaccard,
+            )
+
+            out["n_pairs"] = link_prediction_jaccard(
+                sym,
+                min_common=4,
+                max_center_degree=64,
+                broadcast_adjacency=True,
+            ).count()
         elif job == "pagerank10":
             # the symmetric input is dangling-free: one job per round
             ranks, _ = pagerank(

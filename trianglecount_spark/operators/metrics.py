@@ -182,9 +182,17 @@ def _pair_counts(
     no 120M-row shuffle, no JVM hash table at all (measured at sf0.1,
     jaccard pair-count pass: 5.2 s warm / 23.8 s single-shot where the
     gap is Python-worker-pool + broadcast + Arrow cold-start, vs
-    41.7 s for the shuffle form). Regime
-    bound: E_capped ≤ |V|·τ int64s must broadcast (~8 GB at 10^9
-    capped directed edges); past that, use the shuffle form.
+    41.7 s for the shuffle form). TWO regime bounds, both required:
+    (1) E_capped ≤ |V|·τ int64s must broadcast (~8 GB at 10^9 capped
+    directed edges); (2) each task holds its partitions' RAW pair
+    stream for the flat sort — Σ C(d,2)/n_parts packed uint64s — so
+    the kernel needs the hub cap to bound it at C(τ,2)·centers/task.
+    UNCAPPED hub graphs violate (2): at sf0.1 on the events graph
+    (τ=None) 32 concurrent workers thrash memory and wall time swings
+    37-143 s across identical reps, while the JVM shuffle agg handles
+    the same stream in a stable 42 s warm — spill-managed execution
+    memory vs Python heaps. The regime rule: kernel when capped,
+    shuffle form when τ=None (q_link_prediction_exact).
 
     ``ra_millionths`` sums per-center integer weights ≤ 10^6 with ≤
     max-degree terms per pair — far inside float64's 2^53 exact-integer

@@ -639,14 +639,19 @@ def q_link_prediction_exact(spark, sf_dir):
     capped production contract (q_link_prediction) and the exact form
     are BOTH oracle-gated. Runs on the smaller events co-occurrence
     graph: exactness is scale-free, and the full Σ C(d,2) stream on
-    the flagship graph belongs to the capped plan."""
+    the flagship graph belongs to the capped plan. Runs the SHUFFLE
+    regime on purpose: uncapped hub wedges violate the kernel regime's
+    per-task pair-memory bound (metrics._pair_counts — measured 37-143s
+    swings from Python memory thrash at sf0.1, vs the JVM agg's
+    spill-managed 42s warm), so the regime rule routes τ=None to the
+    all-shuffle plan."""
     from trianglecount_spark.operators.canonicalize import canonicalize_edges
     from trianglecount_spark.operators.metrics import link_prediction_jaccard
 
     return link_prediction_jaccard(
         canonicalize_edges(events_pairs(spark, sf_dir)),
         min_common=8,
-        broadcast_adjacency=True,
+        broadcast_adjacency=False,
     )
 
 
