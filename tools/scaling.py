@@ -40,7 +40,8 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-JOBS = ["tc_arrays", "tc_join", "pagerank10", "tc_kernel", "pagerank10bc", "linkpred"]
+JOBS = ["tc_arrays", "tc_join", "pagerank10", "tc_kernel", "pagerank10bc",
+        "linkpred", "linkpredsh"]
 # SPARK_GRAFT_SCALING_JOBS=tc_arrays,tc_kernel re-measures a subset; the
 # report is regenerated from the merged per-pair caches either way.
 RUN_JOBS = [
@@ -58,7 +59,10 @@ SIZES = {
         "pagerank10": (32_000_000, 2_000_000),
         "pagerank10bc": (32_000_000, 2_000_000),
         "tc_kernel": (16_000_000, 200_000),
+        # sized up from (4M, 200k) after a first pass measured 0.64 at
+        # a 17.7s hi level (under the ~30s sizing discipline above)
         "linkpred": (8_000_000, 400_000),
+        "linkpredsh": (4_000_000, 200_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),
@@ -66,7 +70,8 @@ SIZES = {
         "pagerank10": (32_000_000, 2_000_000),
         "pagerank10bc": (32_000_000, 2_000_000),
         "tc_kernel": (16_000_000, 200_000),
-        "linkpred": (16_000_000, 800_000),
+        "linkpred": (8_000_000, 400_000),
+        "linkpredsh": (4_000_000, 200_000),
     },
 }
 
@@ -288,6 +293,34 @@ def main() -> None:
                 "criterion, and the broadcast form is the recommended ABSOLUTE "
                 "plan whenever vertex state fits (regime switch documented in "
                 "operators/pagerank.py).",
+                "",
+            ]
+            break
+
+    # link-prediction regime interpretation, when cells exist
+    for pk in sorted(all_results):
+        lp = all_results[pk].get("linkpred", {})
+        sh = all_results[pk].get("linkpredsh", {})
+        if all(c in lp for c in pk):
+            lo2, hi2 = pk
+            e = lp[lo2]["edges"]
+            shuf = (
+                " The all-shuffle form (`linkpredsh` above) has no serial "
+                "term — wedge self-join + repartition-clustered hash agg, "
+                "all-parallel like tc_join — so it carries the two-cluster-"
+                "size criterion, exactly the pagerank10/pagerank10bc split."
+                if all(c in sh for c in pk)
+                else ""
+            )
+            lines += [
+                f"**Link-prediction regimes (local[{lo2}]/local[{hi2}], "
+                f"{e / 1e6:.0f}M-edge graph, τ=64 hub cap):** the broadcast-CSR "
+                "pair-count kernel (`linkpred`, operators/metrics.py "
+                "`_pair_counts`) is the fastest ABSOLUTE plan while the capped "
+                "adjacency fits the broadcast bound, but its driver CSR "
+                "collect + broadcast is an O(E) SERIAL term — an Amdahl floor "
+                "that more slots cannot parallelize, the same shape as "
+                "pagerank10bc's per-round broadcast." + shuf,
                 "",
             ]
             break

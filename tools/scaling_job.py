@@ -76,8 +76,12 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # raw edges + broadcast hubs, ONE collect_list agg + ONE join (the v6
 # plan executed the agg six times — no exchange reuse across the
 # grouped-Arrow boundary).
+# v7 (linkpred) = bare-pair collect + driver lexsort CSR (halved serial
+# term) and kernel_parts pinned to SHUFFLE_PARTITIONS so the task set
+# is identical across parallelism levels (v6 tied it to the core count,
+# mixing granularity into the scaling signal).
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 
@@ -108,7 +112,7 @@ def main() -> None:
 
     sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
     sym.count()
-    if not job.startswith("pagerank10") and job != "linkpred":
+    if not job.startswith("pagerank10") and not job.startswith("linkpred"):
         oriented = orient(sym).cache()
         out["n_oriented_edges"] = oriented.count()
         sym.unpersist()
@@ -138,14 +142,17 @@ def main() -> None:
                 .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("t"))
                 .collect()[0]["t"]
             )
-        elif job == "linkpred":
-            # broadcast-CSR pair-count kernel (r3 operators/metrics.py
-            # _pair_counts): the capped adjacency broadcasts, the only
-            # shuffle is the E-row repartition by wedge endpoint, and
-            # the per-task packed-key sorts are all-parallel work — the
-            # shape the two-cluster criterion constrains. τ caps the
-            # power-law hubs (Σ C(d,2) is quadratic in hub degree); the
-            # capped score is the registered-query contract.
+        elif job in ("linkpred", "linkpredsh"):
+            # linkpred = broadcast-CSR pair-count kernel (r3
+            # operators/metrics.py _pair_counts): the fastest ABSOLUTE
+            # plan while the capped adjacency fits the broadcast bound,
+            # but its driver CSR collect+broadcast is an O(E) SERIAL
+            # term — the same Amdahl shape as pagerank10bc, so (like
+            # pagerank) the all-shuffle form (linkpredsh) carries the
+            # two-cluster-size criterion and the kernel is reported as
+            # the absolute regime. τ caps the power-law hubs (Σ C(d,2)
+            # is quadratic in hub degree); the capped score is the
+            # registered-query contract.
             from trianglecount_spark.operators.metrics import (
                 link_prediction_jaccard,
             )
@@ -154,7 +161,8 @@ def main() -> None:
                 sym,
                 min_common=4,
                 max_center_degree=64,
-                broadcast_adjacency=True,
+                broadcast_adjacency=(job == "linkpred"),
+                kernel_parts=SHUFFLE_PARTITIONS,
             ).count()
         elif job == "pagerank10":
             # the symmetric input is dangling-free: one job per round

@@ -147,6 +147,7 @@ def _pair_counts(
     max_center_degree: int | None,
     broadcast_adjacency: bool,
     with_ra: bool = True,
+    kernel_parts: int | None = None,
 ) -> DataFrame:
     """Common-neighbor pair counts ``(u, w, common, ra_millionths)`` for
     u < w — the shared engine under both link-prediction scores
@@ -219,26 +220,24 @@ def _pair_counts(
     import numpy as np
 
     spark = sym_edges.sparkSession
-    # Driver CSR of the capped-center adjacency, neighbor-sorted within
-    # each center: ONE Arrow collect of (v, sorted nbrs) rows —
-    # O(E_capped) — flattened via the Arrow list offsets (the same
-    # offsets-ARE-the-CSR identity the triangle kernel uses), no
-    # per-row Python objects.
-    adj_tbl = (
-        centered.groupBy("v")
-        .agg(F.sort_array(F.collect_list("u")).alias("nbrs"))
-        .orderBy("v")
-        .toArrow()
-        .combine_chunks()
-    )
-    centers = adj_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
-    lists = adj_tbl.column("nbrs").chunk(0) if adj_tbl.num_rows else None
-    if lists is not None:
-        loffs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = loffs - loffs[0]
-        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    # Driver CSR of the capped-center adjacency: ONE Arrow collect of
+    # the BARE (v, u) pairs + a numpy lexsort on the driver. This is
+    # the kernel's serial term (it grows O(E_capped)), so keep it
+    # minimal: no JVM groupBy/sort_array/orderBy before the wire — a
+    # flat 2-column fetch, then one driver-side lexsort builds the
+    # neighbor-sorted CSR (measured ~2x less serial time than
+    # collecting pre-grouped Arrow list rows at 8M edges).
+    pair_tbl = centered.select("v", "u").toArrow()
+    vv = pair_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    uu = pair_tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(vv):
+        order = np.lexsort((uu, vv))
+        vv, flat = vv[order], uu[order]
+        centers, first = np.unique(vv, return_index=True)
+        offs = np.concatenate((first, [len(vv)]))
         degs = np.diff(offs)
     else:
+        centers = np.zeros(0, dtype=np.int64)
         offs = np.zeros(1, dtype=np.int64)
         flat = np.zeros(0, dtype=np.int64)
         degs = np.zeros(0, dtype=np.int64)
@@ -358,8 +357,10 @@ def _pair_counts(
     # E-row stream would be AQE-coalesced to a handful of 64MB-advisory
     # partitions, serializing the kernel (measured 10-15 tasks on 32
     # cores); the EXPANSION is the work, not the shuffled bytes, so pin
-    # one partition per core slot.
-    n_parts = spark.sparkContext.defaultParallelism
+    # one partition per core slot — or take ``kernel_parts`` explicitly
+    # (the scaling harness pins it across parallelism levels so plans
+    # stay identical; more parts also bound per-task sort memory).
+    n_parts = kernel_parts or spark.sparkContext.defaultParallelism
     stream = centered.select("v", "u").repartition(n_parts, "u")
     return stream.mapInArrow(
         expand, "u long, w long, common long, ra_millionths long"
@@ -371,6 +372,7 @@ def link_prediction_jaccard(
     min_common: int = 2,
     max_center_degree: int | None = None,
     broadcast_adjacency: bool = False,
+    kernel_parts: int | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over a symmetric edge table:
     non-adjacent pairs ``u < w`` with ≥ ``min_common`` shared neighbors
@@ -407,6 +409,7 @@ def link_prediction_jaccard(
         max_center_degree,
         broadcast_adjacency,
         with_ra=False,
+        kernel_parts=kernel_parts,
     ).drop("ra_millionths")
     existing = sym_edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("w")
@@ -809,6 +812,7 @@ def link_prediction_ra(
     min_common: int = 2,
     max_center_degree: int | None = None,
     broadcast_adjacency: bool = False,
+    kernel_parts: int | None = None,
 ) -> DataFrame:
     """Resource-allocation link prediction: non-adjacent pairs ``u < w``
     scored by RA(u,w) = Σ_{v ∈ CN(u,w)} 1/deg(v) — the Zhou-Lü-Zhang
@@ -831,7 +835,12 @@ def link_prediction_ra(
     sym_edges = sym_edges.localCheckpoint(eager=True)  # see jaccard note
     deg = degrees(sym_edges)
     cn = _pair_counts(
-        sym_edges, deg, min_common, max_center_degree, broadcast_adjacency
+        sym_edges,
+        deg,
+        min_common,
+        max_center_degree,
+        broadcast_adjacency,
+        kernel_parts=kernel_parts,
     )
     existing = sym_edges.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("w")

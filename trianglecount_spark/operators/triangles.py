@@ -370,6 +370,7 @@ def triangles_per_vertex_kernel(
     n_parts: int | None = None,
     salt_threshold: int = 4096,
     n_salts: int = 16,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vertex triangle counts via the partitioned CSR kernel: ``v, tri``.
 
@@ -408,6 +409,17 @@ def triangles_per_vertex_kernel(
     the intersection target) plus only its own slice's halo lists, and
     the kernel expands just the bucket's seeds; partial counts merge in
     the final agg.
+
+    ``parts``: optional external anchor assignment ``(v, part)`` (P3 —
+    the reference's METIS node-parts file,
+    Halo_creation_preprocess.py:304-341; produce one in-engine with
+    ``plans.partitioning.multilevel_partition``). Replaces the hash
+    rule for SEED placement only — a locality-aware assignment puts
+    adjacent anchors in the same group, so fewer distinct (halo
+    vertex, group) pairs survive the dedupe and the halo shuffle (the
+    job's dominant bytes) shrinks with the edge cut. Vertices absent
+    from ``parts`` fall back to the hash rule; the count is invariant
+    to ANY assignment (asserted by the oracle-gated query).
     """
     if n_parts is None:
         n_parts = oriented.sparkSession.sparkContext.defaultParallelism
@@ -433,9 +445,26 @@ def triangles_per_vertex_kernel(
     hubs = deg.where(F.col("deg_out") > F.lit(salt_threshold)).select(
         F.col("src").alias("hub")
     )
-    base_part = F.pmod(F.xxhash64("src"), F.lit(n_parts)) * (n_salts + 1)
+    hash_part = F.pmod(F.xxhash64("src"), F.lit(n_parts))
+    ep_in = oriented
+    if parts is not None:
+        # P3 external assignment: one vertex-sized join on the anchor
+        # (routing only — the adjacency build below stays on the bare
+        # edge table); unassigned anchors fall back to the hash rule.
+        # The cast keeps the join key type stable under the int32
+        # compaction above; max_by dedupes a sloppy assignment.
+        ep_in = oriented.join(
+            parts.groupBy(F.col("v").cast("long").alias("_pv")).agg(
+                F.max(F.col("part").cast("long")).alias("_pp")
+            ),
+            F.col("src").cast("long") == F.col("_pv"),
+            "left",
+        ).drop("_pv")
+        base_part = F.coalesce(F.col("_pp"), hash_part) * (n_salts + 1)
+    else:
+        base_part = hash_part * (n_salts + 1)
     ep = (
-        oriented.join(F.broadcast(hubs), F.col("src") == F.col("hub"), "left")
+        ep_in.join(F.broadcast(hubs), F.col("src") == F.col("hub"), "left")
         .select(
             "src",
             "dst",
@@ -491,8 +520,11 @@ def triangle_count_kernel(
     n_parts: int | None = None,
     salt_threshold: int = 4096,
     n_salts: int = 16,
+    parts: DataFrame | None = None,
 ) -> int:
-    df = triangles_per_vertex_kernel(oriented, n_parts, salt_threshold, n_salts)
+    df = triangles_per_vertex_kernel(
+        oriented, n_parts, salt_threshold, n_salts, parts=parts
+    )
     row = df.agg(F.sum("tri").alias("t")).collect()[0]
     return int(row["t"] or 0)
 

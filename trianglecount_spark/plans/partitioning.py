@@ -11,10 +11,16 @@ storage bucketing:
                the `random` strategy in its shipped scripts,
                run_subgraph_p2.sh)
   P2 contig  → floor(v / ceil(N/k)) block ranges
-  P3 METIS   → no Spark analog (global min-edge-cut needs the whole
-               graph in one memory space); hash partitioning is the
-               supported strategy, pluggable here if an external
-               partitioner materializes assignments.
+  P3 METIS   → ``multilevel_partition`` — the same multilevel scheme
+               METIS uses (coarsen by heavy-edge matching, partition
+               the coarse graph, project back + refine), re-expressed
+               Spark-first: the coarsening and refinement are
+               distributed DataFrame rounds, and only the
+               coarse graph (≤ ``coarse_target`` supervertices — a
+               driver-sized object by construction, exactly like
+               METIS's own coarsest level) is solved locally. The
+               ``from_assignment`` hook still adapts a true external
+               METIS run.
 """
 
 from __future__ import annotations
@@ -48,3 +54,259 @@ def from_assignment(assign: DataFrame, v_col: str = "v", part_col: str = "part")
 def write_node_parts(assign: DataFrame, path: str) -> None:
     """S8 sink: (v, part) → parquet (the engine-native node-parts file)."""
     assign.write.mode("overwrite").parquet(path)
+
+
+def edge_cut(sym_edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Partition quality: one row ``(cut_edges, total_edges)`` — the
+    number of undirected edges whose endpoints land in different parts
+    (the METIS objective) over the total. Two vertex-sized joins."""
+    a = assign.select(F.col("v").alias("src"), F.col("part").alias("ps"))
+    b = assign.select(F.col("v").alias("dst"), F.col("part").alias("pd"))
+    e = (
+        sym_edges.where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .join(a, "src")
+        .join(b, "dst")
+    )
+    return e.agg(
+        F.sum((F.col("ps") != F.col("pd")).cast("long")).alias("cut_edges"),
+        F.count("*").alias("total_edges"),
+    )
+
+
+def _contract(
+    g: DataFrame, vw: DataFrame, matched: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One multilevel contraction: merge each matched pair (src, dst)
+    into a supervertex named by the smaller endpoint. Returns the
+    contracted weighted graph, summed vertex weights, and the rep map
+    ``(v, rep)`` covering ONLY the vertices that moved."""
+    rep = matched.select(
+        F.col("dst").alias("v"), F.col("src").alias("rep")
+    ).localCheckpoint(eager=True)
+    e = (
+        g.join(
+            rep.withColumnRenamed("v", "src").withColumnRenamed("rep", "rs"),
+            "src",
+            "left",
+        )
+        .join(
+            rep.withColumnRenamed("v", "dst").withColumnRenamed("rep", "rd"),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("rs", F.col("src")).alias("a"),
+            F.coalesce("rd", F.col("dst")).alias("b"),
+            "weight",
+        )
+    )
+    g2 = (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    vw2 = (
+        vw.join(rep, "v", "left")
+        .select(F.coalesce("rep", F.col("v")).alias("v"), "vw")
+        .groupBy("v")
+        .agg(F.sum("vw").alias("vw"))
+        .localCheckpoint(eager=True)
+    )
+    return g2, vw2, rep
+
+
+def multilevel_partition(
+    sym_edges: DataFrame,
+    k: int,
+    coarse_target: int = 2048,
+    max_levels: int = 12,
+    match_rounds: int = 2,
+    balance_slack: float = 0.10,
+    refine_rounds: int = 2,
+    salt: str = "mlp",
+) -> DataFrame:
+    """P3: a Spark-first multilevel k-way partitioner — the same
+    three-phase scheme as METIS (the reference's offline partitioner,
+    Halo_creation_preprocess.py:304-341), with each phase re-expressed
+    for a distributed engine:
+
+    1. COARSEN — repeated heavy-edge matching + contraction
+       (``operators.matching.maximal_matching`` with collapsed-edge
+       weights as the heavy-edge priority), each level a handful of
+       vertex-keyed joins/aggs, until ≤ ``coarse_target`` supervertices
+       remain. Deterministic: the matching priority is an md5 of
+       (salt, level, round, edge).
+    2. INITIAL PARTITION — the coarse graph is DRIVER-SIZED BY
+       CONSTRUCTION (``coarse_target`` rows — the same trick METIS
+       itself uses: only the coarsest level is solved exactly), so a
+       greedy weighted growth runs locally: supervertices in
+       (vertex-weight desc, id) order, each placed on the part with
+       the largest adjacent weight among parts under the balance cap
+       ``(1 + balance_slack) · Σvw / k``.
+    3. UNCOARSEN + REFINE — the assignment projects back through the
+       per-level rep maps (one vertex-sized join per level), then
+       ``refine_rounds`` rounds of capacity-aware boundary moves on
+       the FULL graph: each vertex moves to the part holding the
+       plurality of its neighbors if that strictly reduces the cut,
+       gated by (a) a per-round parity coin so adjacent vertices don't
+       swap past each other, and (b) per-destination quotas (window
+       rank by gain) so the balance cap survives concurrent moves.
+
+    Output ``(v, part int)`` covering every vertex incident to an
+    edge. Scale: every distributed step is vertex-keyed joins +
+    partial aggs (no step materializes more than O(E) rows); the only
+    collect is the coarse graph. At 10^12 edges the coarsening depth
+    grows log(N / coarse_target) ≈ 40 levels of ~halving cost — the
+    classic multilevel envelope, each level strictly cheaper than the
+    last. Quality is measured, not assumed: ``edge_cut`` + the pytest
+    goldens assert cut(multilevel) ≪ cut(hash) on clustered graphs and
+    balance within the cap."""
+    from trianglecount_spark.operators.matching import maximal_matching
+
+    spark = sym_edges.sparkSession
+    g = (
+        sym_edges.where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("weight", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    vw = (
+        g.select(F.col("src").alias("v"))
+        .unionByName(g.select(F.col("dst").alias("v")))
+        .distinct()
+        .withColumn("vw", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n = vw.count()
+    total_vw = n
+    rep_maps: list[DataFrame] = []
+    for level in range(max_levels):
+        if n <= coarse_target:
+            break
+        m = maximal_matching(
+            g, max_iter=match_rounds, salt=f"{salt}:{level}", weight_col="weight"
+        )
+        if m.limit(1).count() == 0:
+            break
+        g, vw, rep = _contract(g, vw, m.select("src", "dst"))
+        rep_maps.append(rep)
+        n = vw.count()
+
+    # ---- initial partition of the driver-sized coarse graph ----
+    # Guard the collect: matching can stall before coarse_target on
+    # star-dominated graphs (a hub matches one spoke per level). Fail
+    # loudly with the knob to turn rather than OOM the driver.
+    if n > max(64 * coarse_target, 200_000):
+        raise ValueError(
+            f"coarsening stalled at {n} supervertices "
+            f"(coarse_target={coarse_target}); raise max_levels/"
+            f"match_rounds or coarse_target"
+        )
+    cap = (1.0 + balance_slack) * total_vw / k
+    cg = g.select("src", "dst", "weight").collect()
+    cvw = {r["v"]: r["vw"] for r in vw.collect()}
+    adj: dict = {}
+    for r in cg:
+        adj.setdefault(r["src"], []).append((r["dst"], r["weight"]))
+        adj.setdefault(r["dst"], []).append((r["src"], r["weight"]))
+    order = sorted(cvw, key=lambda v: (-cvw[v], v))
+    part_of: dict = {}
+    loads = [0.0] * k
+    for v in order:
+        gains = [0.0] * k
+        for nbr, w in adj.get(v, ()):
+            p = part_of.get(nbr)
+            if p is not None:
+                gains[p] += w
+        fits = [p for p in range(k) if loads[p] + cvw[v] <= cap]
+        pool = fits if fits else range(k)
+        best = max(pool, key=lambda p: (gains[p], -loads[p], -p))
+        part_of[v] = best
+        loads[best] += cvw[v]
+    assign = spark.createDataFrame(
+        [(int(v), int(p)) for v, p in part_of.items()], "v long, part int"
+    )
+
+    # ---- project back through the rep maps (coarsest -> finest) ----
+    for rep in reversed(rep_maps):
+        moved = rep.join(
+            assign.withColumnRenamed("v", "rep"), "rep"
+        ).select("v", "part")
+        assign = assign.unionByName(moved).localCheckpoint(eager=True)
+
+    # ---- capacity-aware boundary refinement on the full graph ----
+    from pyspark.sql import Window
+
+    edges2 = (
+        sym_edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    )
+    for r in range(refine_rounds):
+        nbrw = (
+            edges2.join(
+                assign.select(F.col("v").alias("dst"), F.col("part").alias("np")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"), "np")
+            .agg(F.count("*").alias("w"))
+        )
+        cur = assign.withColumnRenamed("part", "cp")
+        best = (
+            nbrw.join(cur, "v")
+            .groupBy("v", "cp")
+            .agg(
+                F.coalesce(
+                    F.max(F.when(F.col("np") == F.col("cp"), F.col("w"))), F.lit(0)
+                ).alias("wcur"),
+                F.max(
+                    F.when(
+                        F.col("np") != F.col("cp"),
+                        F.struct(F.col("w"), (-F.col("np")).alias("negp")),
+                    )
+                ).alias("alt"),
+            )
+            .where(
+                F.col("alt").isNotNull()
+                & (F.col("alt.w") > F.col("wcur"))
+                & (F.pmod(F.xxhash64("v") + F.lit(r), F.lit(2)) == 0)
+            )
+            .select(
+                "v",
+                "cp",
+                (-F.col("alt.negp")).cast("int").alias("to"),
+                (F.col("alt.w") - F.col("wcur")).alias("gain"),
+            )
+        )
+        loads_now = {
+            row["part"]: row["c"]
+            for row in assign.groupBy("part").agg(F.count("*").alias("c")).collect()
+        }
+        quota = {
+            p: max(0, int(cap - loads_now.get(p, 0))) for p in range(k)
+        }
+        quota_df = spark.createDataFrame(
+            [(p, q) for p, q in quota.items()], "to int, quota long"
+        )
+        win = Window.partitionBy("to").orderBy(F.desc("gain"), F.asc("v"))
+        moves = (
+            best.withColumn("rk", F.row_number().over(win))
+            .join(F.broadcast(quota_df), "to")
+            .where(F.col("rk") <= F.col("quota"))
+            .select("v", F.col("to").alias("part"))
+        )
+        if moves.limit(1).count() == 0:
+            break
+        assign = (
+            assign.join(moves.select("v", F.col("part").alias("mp")), "v", "left")
+            .select("v", F.coalesce("mp", F.col("part")).cast("int").alias("part"))
+            .localCheckpoint(eager=True)
+        )
+    return assign.select("v", F.col("part").cast("int").alias("part"))

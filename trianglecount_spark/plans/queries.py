@@ -241,6 +241,33 @@ def q_triangle_total_kernel(spark, sf_dir):
     )
 
 
+def q_triangle_total_metis(spark, sf_dir):
+    """Kernel strategy under the IN-ENGINE multilevel (METIS-scheme)
+    anchor assignment (P3, plans/partitioning.multilevel_partition),
+    on the mined WEB LINK graph — the domain whose locality a
+    min-edge-cut partitioner exploits (a link graph clusters by site;
+    the copurchase co-occurrence projection is a flat quasi-clique
+    where contraction shrinks slowly and buys little). Same oracle as
+    q_web_triangle_total: the total is invariant to the assignment, so
+    the cross-engine hash checks the partitioner produced a complete,
+    well-formed routing (a vertex dropped, duplicated, or mis-ranged
+    by the partitioner would break the count). Cut quality itself is
+    pytest-asserted (tests/test_partitioning.py: multilevel cut <
+    hash cut / 3 on clustered graphs)."""
+    from trianglecount_spark.functions.extract import edges_from_pages
+    from trianglecount_spark.plans.partitioning import multilevel_partition
+
+    e, _verts = edges_from_pages(web_pages_from_documents(spark, sf_dir))
+    sym = canonicalize_edges(e).localCheckpoint(eager=True)
+    assign = multilevel_partition(
+        sym, k=8, coarse_target=4096, max_levels=3, refine_rounds=1
+    )
+    return (
+        triangles_per_vertex_kernel(orient(sym), n_parts=8, parts=assign)
+        .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles"))
+    )
+
+
 def q_triangle_total_arrays(spark, sf_dir):
     from trianglecount_spark.operators.triangles import triangles_per_vertex_arrays
 
@@ -3596,6 +3623,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": q_wedge_count,
         "triangle_total": q_triangle_total,
         "triangle_total_kernel": q_triangle_total_kernel,
+        "triangle_total_metis": q_triangle_total_metis,
         "triangle_total_arrays": q_triangle_total_arrays,
         "triangles_per_vertex": q_triangles_per_vertex,
         "top_degree": q_top_degree,
@@ -5834,6 +5862,15 @@ o AS (
             "SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM u"
         ),
         "web_triangle_total": _WEB_GRAPH
+        + (
+            "SELECT count(*) AS n_triangles FROM o e1 "
+            "JOIN o e2 ON e1.dst = e2.src "
+            "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+        ),
+        # count invariant to the anchor assignment — same oracle as
+        # web_triangle_total; what the hash checks is the partitioner's
+        # routing (complete, unique, in-range)
+        "triangle_total_metis": _WEB_GRAPH
         + (
             "SELECT count(*) AS n_triangles FROM o e1 "
             "JOIN o e2 ON e1.dst = e2.src "
