@@ -181,9 +181,10 @@ def _pair_counts(
     per-(u, w) counts are complete in-task and the ``min_common``
     filter drops ~100% of the pair stream BEFORE anything is emitted —
     no 120M-row shuffle, no JVM hash table at all (measured at sf0.1,
-    jaccard pair-count pass: 5.2 s warm / 23.8 s single-shot where the
-    gap is Python-worker-pool + broadcast + Arrow cold-start, vs
-    41.7 s for the shuffle form). TWO regime bounds, both required:
+    jaccard pair-count pass: 12-24 s single-shot — pure numpy is
+    ~1.4 s/task; the spread is Python-worker + broadcast-deser +
+    concurrent-worker memory contention — vs 41.7 s for the shuffle
+    form). TWO regime bounds, both required:
     (1) E_capped ≤ |V|·τ int64s must broadcast (~8 GB at 10^9 capped
     directed edges); (2) each task holds its partitions' RAW pair
     stream for the flat sort — Σ C(d,2)/n_parts packed uint64s — so
@@ -382,8 +383,8 @@ def link_prediction_jaccard(
 
     The pair counting runs in ``_pair_counts``, which owns the two
     physical regimes and their measured costs (sf0.1 copurchase, 120M
-    wedges, local[32]: shuffle form 41.7 s; broadcast-CSR kernel 23.8 s
-    single-shot / 5.2 s warm —
+    wedges, local[32]: shuffle form 41.7 s; broadcast-CSR kernel
+    12-24 s single-shot —
     opt in with ``broadcast_adjacency=True`` while the capped adjacency
     fits the broadcast bound, the conservative-default convention of
     pagerank/lpa/core_numbers). On top of the counts: an anti-join
