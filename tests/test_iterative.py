@@ -228,6 +228,19 @@ def test_pagerank_resume(spark, tmp_path):
     assert log2.rounds[0]["round"] > 7  # actually resumed past round 8
 
 
+def test_pagerank_partition_metrics(spark):
+    # north_rule: per-partition lineage + metrics — check rounds must
+    # record the per-partition row histogram and a skew ratio.
+    raw, _ = GOLDEN["bowtie"]
+    sym = canonicalize_edges(edges_df(spark, raw))
+    _, log = pagerank(sym, tol=0.0, max_iter=4, check_every=4, partition_metrics=True)
+    entry = log.rounds[-1]
+    assert entry["rows_total"] == sym.select("src").distinct().count()
+    assert entry["rows_max_partition"] >= 1
+    assert entry["skew_ratio"] >= 1.0
+    assert sum(entry["rows_per_partition"]) == entry["rows_total"]
+
+
 def test_pagerank_weighted_matches_numpy(spark):
     import numpy as np
     from pyspark.sql import functions as F

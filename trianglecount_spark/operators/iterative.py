@@ -14,9 +14,10 @@ process); PageRank / CC / LPA are driver-mandated extensions
   any iterative algorithm; this keeps them at 2/K rounds.
 - resumability: optionally persist state to ``state_dir/round=NNN``
   parquet; ``resume`` picks up the latest.
-- per-check metrics: deltas / wall time / partition counts, returned as
-  an IterationLog (the per-partition lineage+metrics the north_rule
-  asks for); ``log.dump(path)`` writes the JSON.
+- per-check metrics: deltas / wall time / partition counts — and, with
+  ``partition_metrics=True``, per-partition row counts + skew ratio —
+  returned as an IterationLog (the per-partition lineage+metrics the
+  north_rule asks for); ``log.dump(path)`` writes the JSON.
 """
 
 from __future__ import annotations
@@ -28,6 +29,37 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _partition_rows(state: DataFrame) -> dict:
+    """Per-partition row counts of a (checkpointed) state DataFrame,
+    computed JVM-side: spark_partition_id groupBy collapses each
+    partition to ONE row map-side, so the job ships n_partitions rows —
+    negligible next to the check round's delta aggregate. Returns the
+    skew summary the north_rule's per-partition metrics ask for (a
+    1000-executor operator that silently develops a 50x hot partition
+    is the failure this line of the log catches), plus the full
+    per-partition histogram when it is small enough to store."""
+    counts = (
+        state.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    rows = {int(r["pid"]): int(r["count"]) for r in counts}
+    n = len(rows)
+    total = sum(rows.values())
+    mx = max(rows.values(), default=0)
+    mean = (total / n) if n else 0.0
+    out = {
+        "n_partitions_nonempty": n,
+        "rows_total": total,
+        "rows_max_partition": mx,
+        "skew_ratio": round(mx / mean, 3) if mean else 0.0,
+    }
+    if n <= 256:
+        out["rows_per_partition"] = [rows.get(i, 0) for i in range(max(rows, default=-1) + 1)]
+    return out
 
 
 @dataclass
@@ -54,6 +86,7 @@ def iterate(
     resume: bool = False,
     log: IterationLog | None = None,
     materialize_every: int = 1,
+    partition_metrics: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
     """Run ``step(state, i) -> new_state`` (pure plan transform, NO
     actions) for up to ``max_iter`` rounds. Every ``check_every`` rounds:
@@ -103,12 +136,15 @@ def iterate(
         if state_dir:
             state.write.mode("overwrite").parquet(os.path.join(state_dir, f"round={i}"))
         delta = float(delta_fn(prev_checked, state))
-        log.add(
+        entry = dict(
             round=i,
             delta=delta,
             seconds=round(time.time() - t0, 3),
             partitions=state.rdd.getNumPartitions(),
         )
+        if partition_metrics:
+            entry.update(_partition_rows(state))
+        log.add(**entry)
         t0 = time.time()
         prev_checked = state
         if delta <= tol:

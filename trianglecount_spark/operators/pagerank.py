@@ -50,6 +50,7 @@ def pagerank(
     weight: str | None = None,
     broadcast_state: bool = False,
     materialize_every: int | None = None,
+    partition_metrics: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
     """PageRank over a *directed* edge table ``src, dst``.
 
@@ -196,5 +197,6 @@ def pagerank(
         state_dir=state_dir,
         resume=resume,
         materialize_every=materialize_every,
+        partition_metrics=partition_metrics,
     )
     return result.select("v", F.col("rank").cast("double")), log
