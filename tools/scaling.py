@@ -41,7 +41,7 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JOBS = ["tc_arrays", "tc_join", "pagerank10", "tc_kernel", "pagerank10bc",
-        "linkpred", "linkpredsh"]
+        "linkpred", "linkpredsh", "webe2e"]
 # SPARK_GRAFT_SCALING_JOBS=tc_arrays,tc_kernel re-measures a subset; the
 # report is regenerated from the merged per-pair caches either way.
 RUN_JOBS = [
@@ -63,6 +63,9 @@ SIZES = {
         # a 17.7s hi level (under the ~30s sizing discipline above)
         "linkpred": (8_000_000, 400_000),
         "linkpredsh": (4_000_000, 200_000),
+        # webe2e: (n_pages, n_sites) — the full pages->edges->TC
+        # pipeline (scaling_job.py)
+        "webe2e": (150_000, 5_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),
@@ -72,6 +75,7 @@ SIZES = {
         "tc_kernel": (16_000_000, 200_000),
         "linkpred": (8_000_000, 400_000),
         "linkpredsh": (4_000_000, 200_000),
+        "webe2e": (150_000, 5_000),
     },
 }
 

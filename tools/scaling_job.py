@@ -110,12 +110,28 @@ def main() -> None:
         "harness": HARNESS_VERSIONS.get(job, _DEFAULT_HARNESS),
     }
 
-    sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
-    sym.count()
-    if not job.startswith("pagerank10") and not job.startswith("linkpred"):
-        oriented = orient(sym).cache()
-        out["n_oriented_edges"] = oriented.count()
-        sym.unpersist()
+    if job == "webe2e":
+        # full north-star pipeline: pages(html) -> mined edges -> url
+        # dictionary -> canonicalize -> orient -> triangle count. The
+        # deterministic pages table (n_edges arg = n_pages, n_vertices
+        # arg = n_sites) is cached and counted BEFORE the timer — the
+        # stand-in for the Iceberg scan; everything downstream of the
+        # scan (Arrow-vectorized HTML extraction included) is timed.
+        from trianglecount_spark.sources.pages import make_pages
+
+        pages = make_pages(
+            spark, n_pages=n_edges, n_sites=n_vertices,
+            n_partitions=SHUFFLE_PARTITIONS,
+        ).cache()
+        out["n_pages"] = pages.count()
+        sym = oriented = None
+    else:
+        sym = canonicalize_edges(powerlaw_edges(spark, n_edges, n_vertices)).cache()
+        sym.count()
+        if not job.startswith("pagerank10") and not job.startswith("linkpred"):
+            oriented = orient(sym).cache()
+            out["n_oriented_edges"] = oriented.count()
+            sym.unpersist()
 
     def run_once() -> None:
         if job == "tc_arrays":
@@ -164,6 +180,18 @@ def main() -> None:
                 broadcast_adjacency=(job == "linkpred"),
                 kernel_parts=SHUFFLE_PARTITIONS,
             ).count()
+        elif job == "webe2e":
+            from trianglecount_spark.functions.extract import edges_from_pages
+
+            handles: list = []
+            we, _verts = edges_from_pages(pages, handles=handles)
+            out["n_triangles"] = triangle_count_arrays(
+                orient(canonicalize_edges(we))
+            )
+            # reclaim this rep's intra-pipeline persists (mined link
+            # table + url dictionary) so reps don't stack cached blocks
+            for h in handles:
+                h.unpersist()
         elif job == "pagerank10":
             # the symmetric input is dangling-free: one job per round
             ranks, _ = pagerank(

@@ -130,7 +130,7 @@ def extract_links_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def edges_from_pages(pages: DataFrame) -> DataFrame:
+def edges_from_pages(pages: DataFrame, handles: list | None = None) -> DataFrame:
     """Full mining pipeline: pages → (src:vid, dst:vid) long-id edge list
     + the url dictionary. Returns (edges, vertices).
 
@@ -148,12 +148,18 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
     # unions + two mapping joins); persist it so the HTML extractor runs
     # ONCE — at crawl scale this table is materialized to storage anyway
     raw = extract_links(pages).persist()
+    if handles is not None:
+        # caller-managed cleanup: repeated invocations (bench reps,
+        # scaling harness) unpersist these instead of stacking blocks
+        handles.append(raw)
     urls = raw.select(F.col("src_url").alias("url")).unionByName(
         raw.select(F.col("dst_url").alias("url"))
     )
     # the mapping joins against BOTH edge endpoints below — persist so the
     # offset join over the (already persisted) numbering runs once
     vertices = vertex_dictionary_scalable(urls, "url").persist()
+    if handles is not None:
+        handles.append(vertices)
     e = (
         raw.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
         .withColumnRenamed("vid", "src")

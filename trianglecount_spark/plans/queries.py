@@ -619,8 +619,12 @@ def q_graph_summary(spark, sf_dir):
         F.expr("sum(deg) div 2").alias("n_edges"),
         F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
     )
-    tri = triangles_join(orient(sym, deg)).agg(
-        F.count("*").alias("n_triangles")
+    from trianglecount_spark.operators.triangles import triangles_per_vertex_arrays
+
+    # arrays strategy — fastest measured at every single-box size
+    # (BENCH/BASELINE.md crossover table); same exact count
+    tri = triangles_per_vertex_arrays(orient(sym, deg)).agg(
+        F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
     )
     return base.crossJoin(tri).select(
         "n_vertices",
@@ -976,10 +980,17 @@ def q_events_edges(spark, sf_dir):
 
 
 def q_events_triangle_total(spark, sf_dir):
-    # engine path: canonicalize + orient + wedge join; oracle path: plain
+    # engine path: canonicalize + orient + the ARRAYS strategy — the
+    # measured fastest at every single-box size (BENCH/BASELINE.md
+    # crossover table), and the events co-occurrence graph is the
+    # hub-skewed one where strategy choice matters; oracle path: plain
     # a<b<c 3-way join on the pair table — independent formulations.
+    from trianglecount_spark.operators.triangles import triangles_per_vertex_arrays
+
     sym = canonicalize_edges(events_pairs(spark, sf_dir))
-    return triangles_join(orient(sym)).agg(F.count("*").alias("n_triangles"))
+    return triangles_per_vertex_arrays(orient(sym)).agg(
+        F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
+    )
 
 
 # --- iterative, all EXACTLY oracle-checked (r2: the r1 rows-only gaps) ---
