@@ -174,8 +174,18 @@ def main() -> None:
     from trianglecount_spark.plans.queries import web_pages_from_documents
 
     def run_web():
-        we, _ = edges_from_pages(web_pages_from_documents(spark, sf_dir))
-        return triangles_join(orient(canonicalize_edges(we))).count()
+        # arrays strategy — the measured-fastest TC form at every
+        # single-box size (BENCH/BASELINE.md crossover table)
+        from trianglecount_spark.operators.triangles import triangle_count_arrays
+
+        handles = []
+        we, _ = edges_from_pages(
+            web_pages_from_documents(spark, sf_dir), handles=handles
+        )
+        n = triangle_count_arrays(orient(canonicalize_edges(we)))
+        for h in handles:
+            h.unpersist()
+        return n
 
     bench("web_e2e", run_web)
     derived["web_triangles"] = results["web_e2e"]
