@@ -41,3 +41,33 @@ def test_cli_list_oracle_and_unknown(capsys):
     assert main(["oracle", "triangle_total"]) == 0
     assert "SELECT" in capsys.readouterr().out
     assert main(["run", "definitely_not_a_query"]) == 2
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    """plans/pipeline.py: full pages -> edges -> TC/PR/CC/LPA job, then a
+    resumed re-run that must skip every stage and agree bit-for-bit."""
+    from trianglecount_spark.plans.pipeline import run_pipeline
+    from trianglecount_spark.sources.pages import make_pages
+
+    out = str(tmp_path / "run")
+    pages = make_pages(spark, n_pages=600, n_sites=40)
+    m1 = run_pipeline(spark, pages, out, pr_rounds=4, lpa_rounds=3)
+    assert m1["n_triangles"] > 0
+    assert m1["n_und_edges"] > 0
+    assert not any(s.get("skipped") for s in m1["stages"].values())
+    # per-partition metrics landed in the pagerank round log
+    pr_rounds = m1["stages"]["pagerank"]["rounds"]
+    assert pr_rounds and "rows_per_partition" in pr_rounds[-1]
+    ranks1 = {
+        r.v: r.rank
+        for r in spark.read.parquet(f"{out}/pagerank").collect()
+    }
+
+    m2 = run_pipeline(spark, pages, out, pr_rounds=4, lpa_rounds=3)
+    assert all(s.get("skipped") for s in m2["stages"].values())
+    assert m2["n_triangles"] == m1["n_triangles"]
+    ranks2 = {
+        r.v: r.rank
+        for r in spark.read.parquet(f"{out}/pagerank").collect()
+    }
+    assert ranks1 == ranks2

@@ -12,6 +12,10 @@ with output as JSON lines or a row count.
     python -m trianglecount_spark run degrees --out /tmp/degrees.parquet
     python -m trianglecount_spark explain triangle_total  # formatted plan
     python -m trianglecount_spark oracle triangle_total   # print the DuckDB SQL
+    python -m trianglecount_spark pipeline --pages synth:20000 --out /tmp/run1
+    python -m trianglecount_spark pipeline --pages /data/pages --out /tmp/run1
+        # resumable: re-running skips completed stages; PageRank resumes
+        # mid-iteration from <out>/pr_state (plans/pipeline.py)
 
 Exit code 0 on success; unknown query names list the registry and exit 2.
 """
@@ -42,6 +46,19 @@ def _build_parser() -> argparse.ArgumentParser:
                            help="max rows printed (0 = count only)")
             s.add_argument("--out", default=None,
                            help="write the full result as parquet here instead")
+    s = sub.add_parser(
+        "pipeline",
+        help="resumable end-to-end link-graph job (pages -> edges -> "
+             "TC + PageRank + CC + LPA); see plans/pipeline.py",
+    )
+    s.add_argument("--pages", required=True,
+                   help="pages parquet path, or synth:N[:SITES] for the "
+                        "deterministic generator")
+    s.add_argument("--out", required=True, help="output/state directory")
+    s.add_argument("--pr-rounds", type=int, default=10)
+    s.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if outputs exist")
+    s.add_argument("--cores", type=int, default=None)
     return p
 
 
@@ -53,6 +70,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in sorted(qs):
             print(name)
+        return 0
+    if args.cmd == "pipeline":
+        from trianglecount_spark.plans.pipeline import run_pipeline
+        from trianglecount_spark.session import get_spark
+
+        spark = get_spark(app_name="tc-pipeline", cores=args.cores)
+        if args.pages.startswith("synth:"):
+            from trianglecount_spark.sources.pages import make_pages
+
+            parts = args.pages.split(":")
+            n = int(parts[1])
+            sites = int(parts[2]) if len(parts) > 2 else max(8, n // 32)
+            pages = make_pages(spark, n_pages=n, n_sites=sites)
+        else:
+            from trianglecount_spark.sources.catalog import read_pages
+
+            pages = read_pages(spark, args.pages)
+        m = run_pipeline(
+            spark, pages, args.out,
+            pr_rounds=args.pr_rounds, resume=not args.no_resume,
+        )
+        print(json.dumps(m))
         return 0
     if args.query not in qs:
         print(f"unknown query {args.query!r}; known:", file=sys.stderr)
