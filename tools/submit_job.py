@@ -16,6 +16,9 @@ Arrow — session.ENGINE_CONFS). ``--algo`` one of:
   lpa        synchronous deterministic label propagation
   mine       pages parquet/Iceberg table → mined edge list (href
              extraction; input must have url:string, html:binary)
+  pipeline   the resumable end-to-end job (plans/pipeline.py): pages →
+             edges → TC + PageRank + CC + LPA, stage outputs + a
+             metrics.json under --output; re-runs skip finished stages
 
 Iterative algos write per-round parquet state under --checkpoint-dir and
 emit an iteration-metrics JSON next to the output (the per-partition
@@ -49,7 +52,7 @@ def main() -> None:
     p.add_argument("--pages", help="parquet/Iceberg path of pages (for --algo mine)")
     p.add_argument(
         "--algo", required=True,
-        choices=["tc", "tc-kernel", "pagerank", "cc", "lpa", "mine"],
+        choices=["tc", "tc-kernel", "pagerank", "cc", "lpa", "mine", "pipeline"],
     )
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint-dir")
@@ -70,6 +73,16 @@ def main() -> None:
     )
 
     log = None
+    if args.algo == "pipeline":
+        from trianglecount_spark.plans.pipeline import run_pipeline
+
+        pages = spark.read.parquet(args.pages)
+        m = run_pipeline(
+            spark, pages, args.output,
+            pr_rounds=args.max_iter, resume=args.resume,
+        )
+        print(m)
+        return
     if args.algo == "mine":
         pages = spark.read.parquet(args.pages)
         edges, verts = edges_from_pages(pages)
