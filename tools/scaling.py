@@ -65,7 +65,7 @@ SIZES = {
         "linkpredsh": (4_000_000, 200_000),
         # webe2e: (n_pages, n_sites) — the full pages->edges->TC
         # pipeline (scaling_job.py)
-        "webe2e": (150_000, 5_000),
+        "webe2e": (1_200_000, 40_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),
@@ -75,7 +75,7 @@ SIZES = {
         "tc_kernel": (16_000_000, 200_000),
         "linkpred": (8_000_000, 400_000),
         "linkpredsh": (4_000_000, 200_000),
-        "webe2e": (150_000, 5_000),
+        "webe2e": (1_200_000, 40_000),
     },
 }
 

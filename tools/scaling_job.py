@@ -76,12 +76,15 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # raw edges + broadcast hubs, ONE collect_list agg + ONE join (the v6
 # plan executed the agg six times — no exchange reuse across the
 # grouped-Arrow boundary).
+# v7 (webe2e) = per-stage materialization (persist sym + oriented) —
+# the v6 form re-executed the mapping joins 2-4x through unpersisted
+# lineage, timing recomputation instead of the pipeline.
 # v7 (linkpred) = bare-pair collect + driver lexsort CSR (halved serial
 # term) and kernel_parts pinned to SHUFFLE_PARTITIONS so the task set
 # is identical across parallelism levels (v6 tied it to the core count,
 # mixing granularity into the scaling signal).
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 7}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 
@@ -185,12 +188,19 @@ def main() -> None:
 
             handles: list = []
             we, _verts = edges_from_pages(pages, handles=handles)
-            out["n_triangles"] = triangle_count_arrays(
-                orient(canonicalize_edges(we))
-            )
-            # reclaim this rep's intra-pipeline persists (mined link
-            # table + url dictionary) so reps don't stack cached blocks
-            for h in handles:
+            # materialize each stage artifact once, exactly like the
+            # resumable pipeline job (plans/pipeline.py): orient
+            # references sym twice (degree agg + join) and the arrays
+            # TC references oriented twice (adjacency build + edge
+            # stream) — without the persists the mapping joins and the
+            # canonicalize distinct re-execute 2-4x per downstream
+            # reference, timing recomputation instead of the pipeline
+            sym_w = canonicalize_edges(we).persist()
+            sym_w.count()
+            ori_w = orient(sym_w).persist()
+            ori_w.count()
+            out["n_triangles"] = triangle_count_arrays(ori_w)
+            for h in handles + [sym_w, ori_w]:
                 h.unpersist()
         elif job == "pagerank10":
             # the symmetric input is dangling-free: one job per round
