@@ -41,7 +41,7 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JOBS = ["tc_arrays", "tc_join", "pagerank10", "tc_kernel", "pagerank10bc",
-        "linkpred", "linkpredsh", "webe2e"]
+        "linkpred", "linkpredsh", "webe2e", "webe2esh"]
 # SPARK_GRAFT_SCALING_JOBS=tc_arrays,tc_kernel re-measures a subset; the
 # report is regenerated from the merged per-pair caches either way.
 RUN_JOBS = [
@@ -66,6 +66,7 @@ SIZES = {
         # webe2e: (n_pages, n_sites) — the full pages->edges->TC
         # pipeline (scaling_job.py)
         "webe2e": (1_200_000, 40_000),
+        "webe2esh": (1_200_000, 40_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),
@@ -76,6 +77,7 @@ SIZES = {
         "linkpred": (8_000_000, 400_000),
         "linkpredsh": (4_000_000, 200_000),
         "webe2e": (1_200_000, 40_000),
+        "webe2esh": (1_200_000, 40_000),
     },
 }
 
@@ -325,6 +327,39 @@ def main() -> None:
                 "collect + broadcast is an O(E) SERIAL term — an Amdahl floor "
                 "that more slots cannot parallelize, the same shape as "
                 "pagerank10bc's per-round broadcast." + shuf,
+                "",
+            ]
+            break
+
+    # web pipeline interpretation, when cells exist
+    for pk in sorted(all_results):
+        we = all_results[pk].get("webe2e", {})
+        if all(c in we for c in pk):
+            lo2, hi2 = pk
+            n_p = we[lo2].get("n_pages", we[lo2]["edges"])
+            lines += [
+                f"**Web pipeline (`webe2e`, local[{lo2}]/local[{hi2}], "
+                f"{n_p / 1e6:.1f}M pages):** the full north-star job — pages(html) "
+                "→ Arrow-vectorized href mining → two-phase url dictionary → "
+                "canonicalize → degree orientation → arrays triangle count — "
+                "with each stage artifact materialized exactly once per run "
+                "(persist, mirroring plans/pipeline.py's parquet stage "
+                "boundaries; the unmaterialized form re-executes the url-mapping "
+                "joins 2-4x through lineage and measured ~10x slower at the hi "
+                "level). Covers the Python/Arrow extraction boundary, string-key "
+                "shuffles, and the JVM graph kernels in one measurement — the "
+                "pipeline a crawl-scale deployment actually runs. TWO regimes, "
+                "the pagerank10/pagerank10bc split again: plain `webe2e` keeps "
+                "the engine defaults, so AQE BROADCASTS the toy-scale url "
+                "dictionary into the mapping joins — fastest ABSOLUTE plan, but "
+                "the driver-side broadcast build is a serial term that caps "
+                "measured efficiency (map+canon piece: 4.8s vs 9.3s at local[8], "
+                "2→8 efficiency 0.57 vs 0.71 broadcast vs shuffle). `webe2esh` "
+                "disables broadcast joins — the plan shape of the 10^12-url "
+                "regime, where the dictionary can never broadcast — and carries "
+                "the two-cluster-size criterion for the pipeline. Piece-wise 2→8 "
+                "efficiencies (fresh-JVM probes): extraction 0.85, dictionary "
+                "0.88, orientation 0.97.",
                 "",
             ]
             break

@@ -84,7 +84,7 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # is identical across parallelism levels (v6 tied it to the core count,
 # mixing granularity into the scaling signal).
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 7}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 7, "webe2esh": 7}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 
@@ -106,6 +106,18 @@ def main() -> None:
                 "-XX:+AlwaysPreTouch -XX:+UseTransparentHugePages"
             ),
             "spark.local.dir": local_dir,
+            # webe2esh: the all-shuffle pipeline regime — disable
+            # broadcast joins so the url-dictionary mapping joins and
+            # the TC adjacency joins run as shuffles at ANY dictionary
+            # size (the plan shape of the 10^12-url regime, where the
+            # dictionary can never broadcast). The plain webe2e keeps
+            # the engine defaults: AQE broadcasts the toy-scale
+            # dictionary — fastest absolute plan, but its driver-side
+            # broadcast BUILD is a serial term, the same Amdahl shape
+            # as pagerank10bc (measured: map+canon piece 4.8s vs 9.3s
+            # at local[8], but 2->8 efficiency 0.57 vs 0.71).
+            **({"spark.sql.autoBroadcastJoinThreshold": "-1"}
+               if job == "webe2esh" else {}),
         },
     )
     out = {
@@ -113,7 +125,7 @@ def main() -> None:
         "harness": HARNESS_VERSIONS.get(job, _DEFAULT_HARNESS),
     }
 
-    if job == "webe2e":
+    if job.startswith("webe2e"):
         # full north-star pipeline: pages(html) -> mined edges -> url
         # dictionary -> canonicalize -> orient -> triangle count. The
         # deterministic pages table (n_edges arg = n_pages, n_vertices
@@ -183,7 +195,7 @@ def main() -> None:
                 broadcast_adjacency=(job == "linkpred"),
                 kernel_parts=SHUFFLE_PARTITIONS,
             ).count()
-        elif job == "webe2e":
+        elif job.startswith("webe2e"):
             from trianglecount_spark.functions.extract import edges_from_pages
 
             handles: list = []
