@@ -980,17 +980,19 @@ def q_events_edges(spark, sf_dir):
 
 
 def q_events_triangle_total(spark, sf_dir):
-    # engine path: canonicalize + orient + the ARRAYS strategy — the
-    # measured fastest at every single-box size (BENCH/BASELINE.md
-    # crossover table), and the events co-occurrence graph is the
-    # hub-skewed one where strategy choice matters; oracle path: plain
-    # a<b<c 3-way join on the pair table — independent formulations.
-    from trianglecount_spark.operators.triangles import triangles_per_vertex_arrays
-
+    # engine path: canonicalize + orient + wedge JOIN — deliberately NOT
+    # the arrays strategy here: the events graph is a co-occurrence
+    # projection (a union of (event_type, hour) cliques), and measured
+    # at sf0.1 the join form wins 22s vs 42-47s — on clique-dense
+    # graphs every member's oriented adjacency array is clique-sized,
+    # so the per-edge array_intersect payload (two k-length arrays per
+    # row) dwarfs the join form's streamed wedge rows. The crossover
+    # table's "arrays fastest" rule (BENCH/BASELINE.md) is for
+    # power-law WEB graphs; co-occurrence projections are the join
+    # form's regime. Oracle path: plain a<b<c 3-way join on the pair
+    # table — independent formulations.
     sym = canonicalize_edges(events_pairs(spark, sf_dir))
-    return triangles_per_vertex_arrays(orient(sym)).agg(
-        F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
-    )
+    return triangles_join(orient(sym)).agg(F.count("*").alias("n_triangles"))
 
 
 # --- iterative, all EXACTLY oracle-checked (r2: the r1 rows-only gaps) ---
