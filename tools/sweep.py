@@ -7,7 +7,7 @@ is resumable after a crash. Run from anywhere — the session builder pins
 the repo on the workers' PYTHONPATH.
 
 Usage:
-    python tools/sweep.py [--sf /root/testdata/sf0.1] [--force] [only ...]
+    python tools/sweep.py [--sf /root/testdata/sf0.1] [--force|--min] [only ...]
 """
 
 from __future__ import annotations
@@ -30,6 +30,7 @@ def main() -> None:
     argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
     force = False
+    keep_min = False
     only: set[str] = set()
     i = 0
     while i < len(argv):
@@ -39,6 +40,12 @@ def main() -> None:
             sf_dir = argv[i]
         elif a == "--force":
             force = True
+        elif a == "--min":
+            # noise-refresh mode: re-run cells but keep the FASTER of
+            # (old, new) — the scaling.py merge discipline (external
+            # load only ever inflates a single-shot cell). Use --force
+            # instead when the query implementation changed.
+            keep_min = True
         else:
             only.add(a)
         i += 1
@@ -67,12 +74,15 @@ def main() -> None:
         if only and name not in only:
             continue
         prior = cells.get(name)
-        if prior and "rows" in prior and not force:
+        if prior and "rows" in prior and not (force or keep_min):
             continue
         t0 = time.time()
         try:
             n = qs[name](spark, sf_dir).count()
-            cells[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+            new = {"sec": round(time.time() - t0, 2), "rows": n}
+            if keep_min and prior and prior.get("rows") == n and prior["sec"] < new["sec"]:
+                new = prior
+            cells[name] = new
             print(f"{name:30s} {cells[name]['sec']:8.2f}s  {n} rows", flush=True)
         except Exception as e:  # noqa: BLE001 — keep sweeping, record the cell
             cells[name] = {
