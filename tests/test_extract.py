@@ -63,6 +63,44 @@ def test_pages_to_triangles_end_to_end(spark):
     assert d1 == d2
 
 
+def test_longkey_mapping_collision_fallback(spark):
+    # The r4 long-key mapping joins shuffle xxhash64 fingerprints with a
+    # per-key string-join fallback for colliding fingerprints. True
+    # 64-bit collisions can't be crafted from real urls, so assert the
+    # fallback's exactness contract directly: the edge output must be
+    # invariant under ANY injected dup set — fingerprints falsely
+    # marked as colliding just route their rows through the exact
+    # string path.
+    from trianglecount_spark.functions.extract import _map_edges_longkey
+
+    pages = make_pages(spark, n_pages=64, n_sites=8, seed=11)
+    raw = extract_links(pages).persist()
+    from trianglecount_spark.operators.canonicalize import vertex_dictionary_scalable
+
+    urls = raw.select(F.col("src_url").alias("url")).unionByName(
+        raw.select(F.col("dst_url").alias("url"))
+    )
+    vertices = vertex_dictionary_scalable(urls, "url").persist()
+    vh = vertices.select(F.xxhash64("url").alias("h"))
+    empty_dup = vh.limit(0)
+    golden = sorted(
+        (r.src, r.dst)
+        for r in _map_edges_longkey(raw, vertices, empty_dup).collect()
+    )
+    assert golden  # non-trivial graph
+    # no true collisions on this fixture → clean path covers everything
+    assert vh.groupBy("h").count().where("count > 1").count() == 0
+    for frac in (0.25, 1.0):  # partial and total fallback routing
+        fake_dup = vh.where(F.pmod(F.abs("h"), F.lit(4)) < int(frac * 4)).select("h")
+        got = sorted(
+            (r.src, r.dst)
+            for r in _map_edges_longkey(raw, vertices, fake_dup).collect()
+        )
+        assert got == golden, f"fallback not exact at dup fraction {frac}"
+    raw.unpersist()
+    vertices.unpersist()
+
+
 def test_url_canonicalization_rules(spark):
     # each rule alone, plus stacked rules, against hand-written expectations
     from trianglecount_spark.functions.urlnorm import canonical_url, messy_variant

@@ -130,7 +130,9 @@ def extract_links_text(pages: DataFrame) -> DataFrame:
     )
 
 
-def edges_from_pages(pages: DataFrame, handles: list | None = None) -> DataFrame:
+def edges_from_pages(
+    pages: DataFrame, handles: list | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Full mining pipeline: pages → (src:vid, dst:vid) long-id edge list
     + the url dictionary. Returns (edges, vertices).
 
@@ -141,7 +143,35 @@ def edges_from_pages(pages: DataFrame, handles: list | None = None) -> DataFrame
     Uses the two-phase ``vertex_dictionary_scalable`` (range partition +
     per-partition numbering + offset cumsum): same key → sorted-rank
     mapping as the window form, but no single-task global window — the
-    r1 flagship path funneled 10^12 urls through one task here."""
+    r1 flagship path funneled 10^12 urls through one task here.
+
+    LONG-KEY MAPPING JOINS (r4): the url→vid mapping joins are the
+    pipeline's dominant shuffle (E rows × two endpoints), and shuffling
+    url STRINGS through them was the measured scaling bottleneck (2→8
+    core efficiency 0.71 for the mapping piece alone vs 0.97 for the
+    long-keyed orientation — sort-merge cost scales with key bytes).
+    They now shuffle fixed-width ``xxhash64(url)`` fingerprints with a
+    per-key collision fallback, exact at ANY scale:
+
+    - ``dup`` = fingerprints shared by >1 distinct url. At 10^12 urls
+      the birthday bound expects ~n²/2^65 ≈ tens of thousands of
+      colliding urls — nonzero, so a check-and-fail would be wrong at
+      exactly the target scale; instead collisions get a correct slow
+      path. ``dup`` is bounded by that birthday math (a design
+      invariant, not a data-scale property), hence the EXPLICIT
+      broadcast hints below — correct even in the all-shuffle regime
+      where ``spark.sql.autoBroadcastJoinThreshold=-1``.
+    - clean rows (no endpoint fingerprint in ``dup`` — ~all of them)
+      drop their url strings BEFORE the shuffle and map both endpoints
+      via long-only joins against the collision-free dictionary slice.
+    - dirty rows (either endpoint collides) keep their strings and map
+      through the exact string-keyed joins; the dirty side is
+      broadcast-hinted (it is collision-sized), so no large string
+      shuffle exists anywhere in the plan.
+
+    Output is bit-identical to the string-joined form: same vids, same
+    multiset of edges (the driver gate checks all web_* queries
+    against string-keyed DuckDB oracles)."""
     from trianglecount_spark.operators.canonicalize import vertex_dictionary_scalable
 
     # the mined link table is referenced four times downstream (two url
@@ -160,16 +190,87 @@ def edges_from_pages(pages: DataFrame, handles: list | None = None) -> DataFrame
     vertices = vertex_dictionary_scalable(urls, "url").persist()
     if handles is not None:
         handles.append(vertices)
-    e = (
-        raw.join(vertices.withColumnRenamed("url", "src_url"), "src_url")
+
+    vh = vertices.select(F.xxhash64("url").alias("h"), "url", "vid")
+    # fingerprints carried by >1 dictionary url (urls are distinct by
+    # construction, so count(*)>1 ⇔ a true 64-bit collision). Tiny by
+    # the birthday bound; persisted because it anchors three joins.
+    dup = (
+        vh.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+        .persist()
+    )
+    if handles is not None:
+        handles.append(dup)
+    e = _map_edges_longkey(raw, vertices, dup)
+    return e, vertices
+
+
+def _map_edges_longkey(
+    raw: DataFrame, vertices: DataFrame, dup: DataFrame
+) -> DataFrame:
+    """The split-plan url→vid mapping of ``edges_from_pages`` (see its
+    docstring for the regime analysis). Factored out so the collision
+    fallback is testable: the dirty path must be exact for ANY ``dup``
+    set — a fingerprint falsely marked as colliding merely routes its
+    rows through the (exact) string joins, so output is invariant under
+    ``dup`` supersets; ``tests/test_extract.py`` asserts this by
+    injecting synthetic dup sets (true 64-bit collisions can't be
+    crafted from real urls)."""
+    vh = vertices.select(F.xxhash64("url").alias("h"), "url", "vid")
+    safe = vh.join(dup, "h", "left_anti").select("h", "vid")
+
+    raw_h = raw.select(
+        "src_url",
+        "dst_url",
+        F.xxhash64("src_url").alias("hs"),
+        F.xxhash64("dst_url").alias("hd"),
+    )
+    marked = raw_h.join(
+        F.broadcast(dup.select(F.col("h").alias("hs"), F.lit(True).alias("amb_s"))),
+        "hs",
+        "left",
+    ).join(
+        F.broadcast(dup.select(F.col("h").alias("hd"), F.lit(True).alias("amb_d"))),
+        "hd",
+        "left",
+    )
+    # dominant path: strings dropped before the shuffle — only int64
+    # fingerprints cross the wire for the two E-row mapping joins
+    clean = marked.where(
+        F.col("amb_s").isNull() & F.col("amb_d").isNull()
+    ).select("hs", "hd")
+    e_clean = (
+        clean.join(safe.withColumnRenamed("h", "hs"), "hs")
         .withColumnRenamed("vid", "src")
+        .join(
+            safe.withColumnRenamed("h", "hd").withColumnRenamed("vid", "dst"),
+            "hd",
+        )
+        .select("src", "dst")
+    )
+    # collision fallback: exact string-keyed mapping for the handful of
+    # rows touching a colliding fingerprint (either endpoint — the
+    # other endpoint maps correctly through the full dictionary too)
+    dirty = marked.where(
+        F.col("amb_s").isNotNull() | F.col("amb_d").isNotNull()
+    ).select("src_url", "dst_url")
+    e_dirty = (
+        F.broadcast(dirty)
+        .join(vertices.withColumnRenamed("url", "src_url"), "src_url")
+        .withColumnRenamed("vid", "src")
+    )
+    e_dirty = (
+        F.broadcast(e_dirty)
         .join(
             vertices.withColumnRenamed("url", "dst_url").withColumnRenamed("vid", "dst"),
             "dst_url",
         )
         .select("src", "dst")
     )
-    return e, vertices
+    return e_clean.unionByName(e_dirty)
 
 
 def remove_boilerplate_lines(pages: DataFrame, min_pages: int = 2) -> DataFrame:
