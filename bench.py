@@ -161,10 +161,15 @@ def main() -> None:
     # sf0.01, the driver-gate scale) — the wedge work being timed is
     # identical (the min_common filter runs after aggregation), and a
     # non-empty output keeps the derived pair count meaningful.
+    # broadcast_adjacency defaults to "auto" (r4): the regime probe
+    # resolves to the kernel here (capped adjacency ~19 MB at sf0.1,
+    # far under the ceiling) — the bench times the auto-selected plan,
+    # which is the same kernel plan r3 pinned by flag plus the probe's
+    # count fallback (subsecond on the materialized input).
     bench(
         "linkpred",
         lambda: link_prediction_jaccard(
-            sym, min_common=8, max_center_degree=150, broadcast_adjacency=True
+            sym, min_common=8, max_center_degree=150
         ).count(),
     )
     derived["linkpred_pairs"] = results["linkpred"]
@@ -175,15 +180,25 @@ def main() -> None:
 
     def run_web():
         # arrays strategy — the measured-fastest TC form at every
-        # single-box size (BENCH/BASELINE.md crossover table)
+        # single-box size (BENCH/BASELINE.md crossover table).
+        # Per-stage materialization (persist sym + oriented), matching
+        # tools/scaling_job.py v7 and plans/pipeline.py: orient
+        # references sym twice and the arrays TC references oriented
+        # twice — without the persists the mapping joins and the
+        # canonicalize distinct re-execute 2-4x through unpersisted
+        # lineage, timing recomputation instead of the pipeline.
         from trianglecount_spark.operators.triangles import triangle_count_arrays
 
         handles = []
         we, _ = edges_from_pages(
             web_pages_from_documents(spark, sf_dir), handles=handles
         )
-        n = triangle_count_arrays(orient(canonicalize_edges(we)))
-        for h in handles:
+        sym_w = canonicalize_edges(we).persist()
+        sym_w.count()
+        ori_w = orient(sym_w).persist()
+        ori_w.count()
+        n = triangle_count_arrays(ori_w)
+        for h in handles + [sym_w, ori_w]:
             h.unpersist()
         return n
 

@@ -641,3 +641,79 @@ def test_core_numbers_matches_peeling(spark):
     df = spark.createDataFrame(sym, "src long, dst long")
     got = {r.v: r.coreness for r in core_numbers(df, rounds=12).collect()}
     assert got == core
+
+
+def test_pair_counts_auto_regime_selection(spark, monkeypatch):
+    """r3 verdict #1: broadcast_adjacency='auto' (the new default) must
+    pick the broadcast-CSR kernel (a MapInArrow node) exactly when BOTH
+    regime bounds hold — hub cap set AND capped adjacency under the
+    byte ceiling — and the all-shuffle plan otherwise."""
+    import trianglecount_spark.operators.metrics as M
+
+    sym = _sym(
+        spark,
+        [(a, b) for a in range(12) for b in range(a + 1, 12) if (a + b) % 3],
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+
+    # capped + small: auto selects the kernel
+    kern = M.link_prediction_jaccard(sym, min_common=1, max_center_degree=8)
+    assert "MapInArrow" in plan(kern)
+    # uncapped: bound (2) fails -> shuffle form, regardless of size
+    shuf = M.link_prediction_jaccard(sym, min_common=1)
+    assert "MapInArrow" not in plan(shuf)
+    # capped but past the size ceiling: bound (1) fails -> shuffle form
+    monkeypatch.setattr(M, "_KERNEL_BYTE_LIMIT", 1)
+    monkeypatch.setattr(M, "_KERNEL_ROW_LIMIT", 1)
+    big = M.link_prediction_jaccard(sym, min_common=1, max_center_degree=8)
+    assert "MapInArrow" not in plan(big)
+    monkeypatch.undo()
+    # the three plans agree on values (kernel vs shuffle bit-parity)
+    rows = lambda df: {  # noqa: E731
+        (r.u, r.w, r.common, round(r.jaccard, 12)) for r in df.collect()
+    }
+    assert rows(kern) == rows(
+        M.link_prediction_jaccard(
+            sym, min_common=1, max_center_degree=8, broadcast_adjacency=False
+        )
+    )
+
+
+def test_pair_counts_uncapped_kernel_raises(spark):
+    """r3 verdict #3: the memory-unsafe explicit combination —
+    broadcast_adjacency=True with no hub cap — fails loudly instead of
+    thrashing worker heaps."""
+    import pytest
+
+    from trianglecount_spark.operators.metrics import link_prediction_jaccard
+
+    sym = _sym(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    with pytest.raises(ValueError, match="memory-unsafe"):
+        link_prediction_jaccard(
+            sym, min_common=1, broadcast_adjacency=True
+        ).collect()
+
+
+def test_frontier_auto_resolves_by_size(spark, monkeypatch):
+    """'auto' broadcast_state degrades to the shuffle regime when the
+    edge-table size estimate exceeds the ceiling, with identical
+    results either way."""
+    import trianglecount_spark.operators.metrics as M
+
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (1, 4)])
+    assert M._resolve_broadcast_state("auto", sym) is True  # noqa: SLF001
+    assert M._resolve_broadcast_state(True, sym) is True  # noqa: SLF001
+    assert M._resolve_broadcast_state(False, sym) is False  # noqa: SLF001
+    monkeypatch.setattr(M, "_KERNEL_BYTE_LIMIT", 1)
+    monkeypatch.setattr(M, "_KERNEL_ROW_LIMIT", 1)
+    assert M._resolve_broadcast_state("auto", sym) is False  # noqa: SLF001
+    # end-to-end under the shrunken ceiling: auto now runs the shuffle
+    # regime and must agree with the explicit broadcast run
+    d_auto, _ = M.bfs_distances(sym, 0, max_rounds=6)
+    monkeypatch.undo()
+    d_bc, _ = M.bfs_distances(sym, 0, max_rounds=6, broadcast_state=True)
+    assert {(r.v, r.dist) for r in d_auto.collect()} == {
+        (r.v, r.dist) for r in d_bc.collect()
+    }

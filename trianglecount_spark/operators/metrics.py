@@ -31,7 +31,45 @@ from pyspark.sql import functions as F
 
 from trianglecount_spark.operators.canonicalize import degrees, orient
 from trianglecount_spark.operators.iterative import IterationLog, iterate
-from trianglecount_spark.operators.triangles import triangles_join
+from trianglecount_spark.operators.triangles import (
+    _BROADCAST_BYTE_LIMIT,
+    _BROADCAST_EDGE_LIMIT,
+    _estimated_bytes,
+    triangles_join,
+)
+
+# Byte/row ceilings for choosing a broadcast/kernel regime (the same
+# probe-and-threshold pattern as triangles_join(closure="auto")).
+# Module-local aliases so tests can shrink them to force the shuffle
+# regime on a small fixture.
+_KERNEL_BYTE_LIMIT = _BROADCAST_BYTE_LIMIT
+_KERNEL_ROW_LIMIT = _BROADCAST_EDGE_LIMIT
+
+
+def _resolve_broadcast_state(flag: bool | str, proxy: DataFrame) -> bool:
+    """Resolve a ``broadcast_state``/``broadcast_adjacency`` tri-state:
+    ``True``/``False`` pass through (explicit override); ``"auto"``
+    broadcasts iff ``proxy`` fits the regime ceiling. Callers pass the
+    EDGE table as the proxy for vertex-sized state (a sound upper
+    bound: the state never exceeds one row per edge endpoint), so an
+    oversized input degrades to the always-correct shuffle regime
+    instead of failing at the broadcast.
+
+    Probe order: Catalyst's optimized-plan size estimate first (a JVM
+    stats call, no job) — trusted when it ALLOWS the broadcast, because
+    without CBO table stats Catalyst only ever overestimates join
+    lineage (measured 55 GB claimed for a 4 MB self-join projection),
+    so a small estimate is reliable. An unknown or over-ceiling
+    estimate is settled by one ``count()`` against the row ceiling —
+    a map-side partial agg over the proxy, noise next to either regime
+    it guards (and on the parquet-scan lineage of the 100 TB regime
+    the estimate is accurate, so the count is rarely reached)."""
+    if flag != "auto":
+        return bool(flag)
+    est = _estimated_bytes(proxy)
+    if est is not None and est <= _KERNEL_BYTE_LIMIT:
+        return True
+    return proxy.count() <= _KERNEL_ROW_LIMIT
 
 
 def triangles_per_vertex_all(oriented: DataFrame) -> DataFrame:
@@ -145,7 +183,7 @@ def _pair_counts(
     deg: DataFrame,
     min_common: int,
     max_center_degree: int | None,
-    broadcast_adjacency: bool,
+    broadcast_adjacency: bool | str,
     with_ra: bool = True,
     kernel_parts: int | None = None,
 ) -> DataFrame:
@@ -154,6 +192,20 @@ def _pair_counts(
     (``common`` drives Jaccard; ``ra_millionths`` is Σ 1000000 div
     deg(center), the resource-allocation numerator — computing both in
     one pass costs one extra int64 column).
+
+    ``broadcast_adjacency="auto"`` (the r4 default at the public API)
+    CHECKS the two kernel regime bounds at plan time instead of
+    trusting the call site: the kernel is selected iff the hub cap is
+    set (bound 2 — per-task pair memory C(τ,2)·centers/task) AND the
+    capped-center adjacency's Catalyst size estimate fits
+    ``_KERNEL_BYTE_LIMIT`` (bound 1 — driver CSR + broadcast); anything
+    else routes to the always-correct shuffle form. Explicit
+    ``True``/``False`` remain as overrides, except that the
+    memory-unsafe combination ``True`` with ``max_center_degree=None``
+    now raises: uncapped hub graphs violate bound 2 by construction
+    (measured 37-143 s swings from Python-heap thrash; the JVM shuffle
+    agg handles the same stream spill-managed) — there is no input on
+    which that pairing is the right plan.
 
     Two physical regimes, both exact and bit-identical:
 
@@ -201,6 +253,23 @@ def _pair_counts(
     range in the kernel's bincount, emitted as int64; both regimes and
     the SQL oracle agree bit-for-bit."""
     centered = _wedge_centers(sym_edges, deg, max_center_degree)
+    if broadcast_adjacency == "auto":
+        # both regime bounds: the hub cap for per-task pair memory
+        # (bound 2, a plan property), then the capped adjacency's size
+        # for the driver-CSR broadcast (bound 1 — plan-stats probe with
+        # count fallback, see _resolve_broadcast_state)
+        broadcast_adjacency = (
+            max_center_degree is not None
+            and _resolve_broadcast_state("auto", centered.select("v", "u"))
+        )
+    elif broadcast_adjacency and max_center_degree is None:
+        raise ValueError(
+            "broadcast_adjacency=True with max_center_degree=None is "
+            "memory-unsafe: the kernel's per-task pair sort is bounded "
+            "only by the hub cap (C(tau,2) per center). Set a cap, or "
+            "use broadcast_adjacency=False/'auto' — the shuffle form "
+            "handles uncapped hub graphs spill-managed."
+        )
     if not broadcast_adjacency:
         e1 = centered.select(
             "v", "u", F.expr("1000000 div cdeg").cast("long").alias("ra_part")
@@ -372,7 +441,7 @@ def link_prediction_jaccard(
     sym_edges: DataFrame,
     min_common: int = 2,
     max_center_degree: int | None = None,
-    broadcast_adjacency: bool = False,
+    broadcast_adjacency: bool | str = "auto",
     kernel_parts: int | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over a symmetric edge table:
@@ -484,7 +553,7 @@ def bfs_distances(
     sym_edges: DataFrame,
     source: int,
     max_rounds: int = 32,
-    broadcast_state: bool = True,
+    broadcast_state: bool | str = "auto",
 ) -> tuple[DataFrame, IterationLog]:
     """Single-source BFS shortest-path distances over a symmetric edge
     table: ``v, dist`` for every vertex reachable from ``source``.
@@ -497,10 +566,14 @@ def bfs_distances(
 
     The frontier is vertex-sized (a slice of the visited set) while the
     edge table is edge-sized: the frontier broadcasts onto the pinned
-    edge table by default, so each expansion is shuffle-free on the
-    edge side. ``broadcast_state=False`` swaps in a shuffle join — the
-    10^12-url regime where a frontier can exceed the broadcast limit
-    (same opt-out as pagerank/label_propagation/core_numbers)."""
+    edge table, making each expansion shuffle-free on the edge side.
+    The default ``broadcast_state="auto"`` picks that regime from the
+    edge table's Catalyst size estimate (a sound upper bound on the
+    vertex-sized state) and degrades to a shuffle join past the byte
+    ceiling — the 10^12-url regime where a frontier can exceed the
+    broadcast limit; ``True``/``False`` force a regime (same tri-state
+    as pagerank/label_propagation/core_numbers)."""
+    broadcast_state = _resolve_broadcast_state(broadcast_state, sym_edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     sym_edges = sym_edges.localCheckpoint(eager=False)  # one round-loop pin
     spark = sym_edges.sparkSession
@@ -534,7 +607,7 @@ def sssp_distances(
     source: int,
     weight_col: str = "w",
     rounds: int = 8,
-    broadcast_state: bool = True,
+    broadcast_state: bool | str = "auto",
 ) -> tuple[DataFrame, IterationLog]:
     """Weighted single-source shortest paths: ``rounds`` synchronous
     Bellman–Ford relaxations over a directed weighted edge table
@@ -548,11 +621,14 @@ def sssp_distances(
     diameter exceeds ``rounds``. Each round is one key-partitioned join
     (state onto edge src) + one min-agg on dst + one left-join fold —
     the same shuffle keys every round, so AQE reuses the partitioning.
-    The distance state is vertex-sized: it broadcasts onto the pinned
-    edge table by default, so the relax join ships no edge bytes per
-    round; ``broadcast_state=False`` swaps in the shuffle join for the
-    10^12-vertex regime where a |V|-row state exceeds the broadcast
-    limit (same opt-out as pagerank/label_propagation)."""
+    The distance state is vertex-sized: while it fits the broadcast
+    ceiling it broadcasts onto the pinned edge table, so the relax
+    join ships no edge bytes per round; ``broadcast_state="auto"``
+    (default) decides that from the edge table's size estimate and
+    swaps in the shuffle join for the 10^12-vertex regime where a
+    |V|-row state exceeds the broadcast limit (``True``/``False``
+    force a regime, same tri-state as pagerank/label_propagation)."""
+    broadcast_state = _resolve_broadcast_state(broadcast_state, weighted_edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     INF = 1 << 40
     weighted_edges = weighted_edges.localCheckpoint(eager=False)
@@ -627,7 +703,7 @@ def k_core(
 
 
 def core_numbers(
-    sym_edges: DataFrame, rounds: int = 8, broadcast_state: bool = True
+    sym_edges: DataFrame, rounds: int = 8, broadcast_state: bool | str = "auto"
 ) -> DataFrame:
     """FULL core decomposition — per-vertex coreness ``v, coreness``
     (the largest k such that v survives k-core peeling), complementing
@@ -644,9 +720,10 @@ def core_numbers(
 
     Physical shape per round: the state is VERTEX-sized (one long per
     vertex) while the work table is EDGE-sized, so the state ships to
-    the edges — broadcast by default (``broadcast_state``; right up to
-    ~10M vertices — beyond that, set False for a shuffle join, the
-    10^12-url regime). The edge table is hash-partitioned on src ONCE
+    the edges — broadcast while the size estimate allows
+    (``broadcast_state="auto"``, resolved from the edge table's
+    Catalyst stats; beyond the ceiling — the 10^12-url regime — it
+    degrades to a shuffle join; ``True``/``False`` force a regime). The edge table is hash-partitioned on src ONCE
     up front; the broadcast join preserves that partitioning, so the
     per-vertex window (row_number over values desc — per-vertex, never
     global) and the max(min(rank, value)) agg both reuse it: a round is
@@ -658,6 +735,7 @@ def core_numbers(
     sym_edges = sym_edges.repartition("src").localCheckpoint(eager=True)
     h = degrees(sym_edges).select("v", F.col("deg").cast("long").alias("h"))
     w = Window.partitionBy("v").orderBy(F.desc("nh"))
+    broadcast_state = _resolve_broadcast_state(broadcast_state, sym_edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(rounds):
         nbr = sym_edges.join(
@@ -703,7 +781,7 @@ def shortest_path_counts(
     sym_edges: DataFrame,
     source: int,
     rounds: int = 6,
-    broadcast_state: bool = True,
+    broadcast_state: bool | str = "auto",
 ) -> DataFrame:
     """Shortest-path COUNTING from one source — the exact-integer
     forward pass of Brandes' betweenness: ``v, dist, sigma`` where
@@ -721,9 +799,11 @@ def shortest_path_counts(
     the principled oracle-checkable unit; sampled betweenness composes
     it with a driver-side accumulation in tests if ever needed.)
 
-    ``broadcast_state=False`` swaps the frontier broadcast for a
-    shuffle join (10^12-url frontiers — same opt-out as
+    ``broadcast_state="auto"`` (default) broadcasts the frontier while
+    the edge-table size estimate fits the ceiling and swaps in a
+    shuffle join past it (10^12-url frontiers — same tri-state as
     pagerank/label_propagation/bfs_distances)."""
+    broadcast_state = _resolve_broadcast_state(broadcast_state, sym_edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     # pinned once: every level joins the frontier against `sym_edges`
     sym_edges = sym_edges.localCheckpoint(eager=False)
@@ -812,7 +892,7 @@ def link_prediction_ra(
     sym_edges: DataFrame,
     min_common: int = 2,
     max_center_degree: int | None = None,
-    broadcast_adjacency: bool = False,
+    broadcast_adjacency: bool | str = "auto",
     kernel_parts: int | None = None,
 ) -> DataFrame:
     """Resource-allocation link prediction: non-adjacent pairs ``u < w``
