@@ -71,3 +71,40 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/pagerank").collect()
     }
     assert ranks1 == ranks2
+
+
+def test_pipeline_fingerprint_invalidation(spark, tmp_path):
+    """r3 advisor: stage-skip markers carry the edges fingerprint — if
+    the edges artifact changes under an existing out_dir, downstream
+    stages must recompute instead of silently reusing results computed
+    on a different graph (and pr_state must not be resumed)."""
+    from trianglecount_spark.plans.pipeline import run_pipeline
+    from trianglecount_spark.sources.pages import make_pages
+
+    out = str(tmp_path / "run")
+    m1 = run_pipeline(
+        spark, make_pages(spark, n_pages=300, n_sites=20), out,
+        pr_rounds=4, lpa_rounds=2,
+    )
+    # different crawl, same out_dir: clearing edges/ forces a re-mine,
+    # and the changed fingerprint must cascade to every downstream stage
+    import shutil
+
+    shutil.rmtree(f"{out}/edges")
+    shutil.rmtree(f"{out}/vertices")
+    m2 = run_pipeline(
+        spark, make_pages(spark, n_pages=500, n_sites=30, seed=9), out,
+        pr_rounds=4, lpa_rounds=2,
+    )
+    assert m2["edges_fingerprint"] != m1["edges_fingerprint"]
+    assert not any(s.get("skipped") for s in m2["stages"].values())
+    assert m2["n_triangles"] != m1["n_triangles"] or m2["n_und_edges"] != m1["n_und_edges"]
+    # ranks on disk belong to the NEW graph: vertex count matches
+    n_pr = spark.read.parquet(f"{out}/pagerank").count()
+    assert n_pr == m2["n_vertices"]
+    # a third run with unchanged edges skips everything again
+    m3 = run_pipeline(
+        spark, make_pages(spark, n_pages=500, n_sites=30, seed=9), out,
+        pr_rounds=4, lpa_rounds=2,
+    )
+    assert all(s.get("skipped") for s in m3["stages"].values())

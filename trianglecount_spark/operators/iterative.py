@@ -57,7 +57,10 @@ def _partition_rows(state: DataFrame) -> dict:
         "rows_max_partition": mx,
         "skew_ratio": round(mx / mean, 3) if mean else 0.0,
     }
-    if n <= 256:
+    # gate on the SPAN (max pid + 1), not the nonempty count: 10
+    # nonempty partitions scattered across 4096 total would otherwise
+    # write a ~4096-element histogram into every check-round log entry
+    if max(rows, default=-1) + 1 <= 256:
         out["rows_per_partition"] = [rows.get(i, 0) for i in range(max(rows, default=-1) + 1)]
     return out
 
@@ -102,13 +105,20 @@ def iterate(
     start_round = 0
     spark = state.sparkSession
 
-    if resume and state_dir and os.path.isdir(state_dir):
+    if resume and state_dir:
+        # Hadoop-FS listing (sources/fsio.py), not os.listdir: state_dir
+        # may be HDFS/S3 under spark-submit — resume must find its
+        # rounds on the same filesystem the parquet state lives on
+        from trianglecount_spark.sources import fsio
+
         done = sorted(
-            int(d.split("=")[1]) for d in os.listdir(state_dir) if d.startswith("round=")
+            int(d.split("=")[1])
+            for d in fsio.list_names(spark, state_dir)
+            if d.startswith("round=")
         )
         if done:
             start_round = done[-1] + 1
-            state = spark.read.parquet(os.path.join(state_dir, f"round={done[-1]}"))
+            state = spark.read.parquet(f"{state_dir}/round={done[-1]}")
 
     state = state.localCheckpoint(eager=True)
     prev_checked = state
@@ -134,7 +144,7 @@ def iterate(
         if not is_check:
             continue
         if state_dir:
-            state.write.mode("overwrite").parquet(os.path.join(state_dir, f"round={i}"))
+            state.write.mode("overwrite").parquet(f"{state_dir}/round={i}")
         delta = float(delta_fn(prev_checked, state))
         entry = dict(
             round=i,

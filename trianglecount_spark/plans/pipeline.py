@@ -16,37 +16,65 @@ with the three properties the north rule names:
 
 - RESUMABLE FROM CHECKPOINT: every stage materializes to
   ``out_dir/<stage>`` parquet and is skipped on re-run when its
-  ``_SUCCESS`` marker exists (the same idempotence contract as a
-  restarted Airflow/Oozie DAG over an Iceberg warehouse). PageRank
-  additionally resumes MID-ITERATION from ``out_dir/pr_state/round=N``
+  ``_SUCCESS`` marker exists AND its fingerprint sidecar matches the
+  current edges fingerprint (below). PageRank additionally resumes
+  MID-ITERATION from ``out_dir/pr_state/round=N``
   (operators/iterative.py) — a killed 100-round job continues from its
   last check round, not from scratch.
 - PER-PARTITION LINEAGE + METRICS: each iterative stage's IterationLog
   (round deltas, wall seconds, per-partition row counts + skew ratio)
   and each stage's wall time / row count land in
   ``out_dir/metrics.json``.
-- CLUSTER JOB FORM: no driver-side data paths — stages exchange data
-  through parquet only, so the identical invocation runs under
+- CLUSTER JOB FORM: stages exchange data through parquet, and ALL
+  control artifacts — ``_SUCCESS`` probes, fingerprint markers,
+  ``tc.json``/``metrics.json`` sidecars — go through the Hadoop
+  FileSystem API (sources/fsio.py), so an HDFS/S3 ``out_dir`` behaves
+  identically to a local one: the same invocation runs under
   ``spark-submit --py-files trianglecount_spark.zip`` on a real
-  cluster (tools/submit_job.py).
+  cluster (tools/submit_job.py) and resume still finds its markers.
 
 Stage boundaries are parquet (not localCheckpoint) deliberately: a
 resumable multi-hour job must survive DRIVER loss, which executor-local
 checkpoint blocks do not.
+
+FINGERPRINT GUARD (r3 advisor): stage-skip markers alone can go stale —
+if the edges artifact changes (re-mined pages, a cleared edges dir) or
+a user deletes one stage dir, blind ``_SUCCESS`` reuse would mix stage
+outputs computed on different graphs under one metrics.json. Every
+downstream stage therefore records the EDGES FINGERPRINT (row count +
+order-independent bit_xor of xxhash64(src,dst) — one map-side agg over
+the already-read artifact) in ``<stage>._fp.json`` when it completes,
+and is invalidated and recomputed when the recorded fingerprint
+mismatches the current one. The mid-iteration ``pr_state`` resume
+carries the same guard: a state computed on a different graph is not
+resumed. The edges stage itself is keyed on its own artifact — delete
+``out_dir/edges`` to force a re-mine of changed pages.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trianglecount_spark.sources import fsio
 
-def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+def _done(spark: SparkSession, path: str) -> bool:
+    return fsio.exists(spark, f"{path}/_SUCCESS")
+
+
+def _edges_fingerprint(edges: DataFrame) -> dict:
+    """Row count + order-independent bit_xor of the per-row xxhash64 —
+    one map-side-combinable agg over the edges artifact, overflow-free
+    (xor, not sum — exact under Spark's ANSI mode at any cardinality)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+    ).collect()[0]
+    return {"n": int(row["n"]), "xor": int(row["x"] or 0)}
 
 
 def run_pipeline(
@@ -66,10 +94,10 @@ def run_pipeline(
     from trianglecount_spark.operators.pagerank import pagerank
     from trianglecount_spark.operators.triangles import triangle_count_arrays
 
-    os.makedirs(out_dir, exist_ok=True)
-    edges_dir = os.path.join(out_dir, "edges")
-    verts_dir = os.path.join(out_dir, "vertices")
-    tc_path = os.path.join(out_dir, "tc.json")
+    fsio.mkdirs(spark, out_dir)
+    edges_dir = f"{out_dir}/edges"
+    verts_dir = f"{out_dir}/vertices"
+    tc_path = f"{out_dir}/tc.json"
     metrics: dict = {"stages": {}}
 
     def stage(name: str):
@@ -82,9 +110,25 @@ def run_pipeline(
 
         return finish
 
+    def fp_path(name: str) -> str:
+        return f"{out_dir}/{name}._fp.json"
+
+    def fp_fresh(name: str) -> bool:
+        """True iff stage ``name`` recorded a fingerprint matching the
+        current edges artifact (one control-file read)."""
+        if not fsio.exists(spark, fp_path(name)):
+            return False
+        try:
+            return json.loads(fsio.read_text(spark, fp_path(name))) == fp
+        except (ValueError, OSError):
+            return False
+
+    def fp_stamp(name: str) -> None:
+        fsio.write_text(spark, fp_path(name), json.dumps(fp))
+
     # ---- stage: edges (HTML mining + url dictionary) ----------------
     fin = stage("edges")
-    if resume and _done(edges_dir) and _done(verts_dir):
+    if resume and _done(spark, edges_dir) and _done(spark, verts_dir):
         fin(skipped=True)
     else:
         handles: list = []
@@ -95,6 +139,8 @@ def run_pipeline(
             h.unpersist()
         fin(skipped=False)
     edges = spark.read.parquet(edges_dir)
+    fp = _edges_fingerprint(edges)
+    metrics["edges_fingerprint"] = fp
     sym = canonicalize_edges(edges).persist()
     n_edges = sym.count() // 2
     metrics["n_und_edges"] = n_edges
@@ -102,57 +148,66 @@ def run_pipeline(
 
     # ---- stage: triangle count --------------------------------------
     fin = stage("tc")
-    if resume and os.path.exists(tc_path):
-        with open(tc_path) as f:
-            metrics["n_triangles"] = json.load(f)["n_triangles"]
+    if resume and fsio.exists(spark, tc_path) and fp_fresh("tc"):
+        metrics["n_triangles"] = json.loads(fsio.read_text(spark, tc_path))[
+            "n_triangles"
+        ]
         fin(skipped=True)
     else:
         metrics["n_triangles"] = triangle_count_arrays(orient(sym))
-        with open(tc_path, "w") as f:
-            json.dump({"n_triangles": metrics["n_triangles"]}, f)
+        fsio.write_text(
+            spark, tc_path, json.dumps({"n_triangles": metrics["n_triangles"]})
+        )
+        fp_stamp("tc")
         fin(skipped=False)
 
     # ---- stage: pagerank (mid-iteration resumable) -------------------
     fin = stage("pagerank")
-    pr_dir = os.path.join(out_dir, "pagerank")
-    if resume and _done(pr_dir):
+    pr_dir = f"{out_dir}/pagerank"
+    if resume and _done(spark, pr_dir) and fp_fresh("pagerank"):
         fin(skipped=True)
     else:
+        # the pr_state fingerprint gates MID-ITERATION resume: a state
+        # computed on a different graph must not be continued
+        resume_state = resume and fp_fresh("pr_state")
+        fp_stamp("pr_state")
         ranks, log = pagerank(
             sym,
             tol=0.0,
             max_iter=pr_rounds,
             check_every=max(1, pr_rounds // 2),
             dangling_free=True,
-            state_dir=os.path.join(out_dir, "pr_state"),
-            resume=resume,
+            state_dir=f"{out_dir}/pr_state",
+            resume=resume_state,
             partition_metrics=True,
         )
         ranks.write.mode("overwrite").parquet(pr_dir)
+        fp_stamp("pagerank")
         fin(skipped=False, rounds=log.rounds)
 
     # ---- stage: connected components ---------------------------------
     fin = stage("components")
-    cc_dir = os.path.join(out_dir, "components")
-    if resume and _done(cc_dir):
+    cc_dir = f"{out_dir}/components"
+    if resume and _done(spark, cc_dir) and fp_fresh("components"):
         fin(skipped=True)
     else:
         comp, log = connected_components(sym)
         comp.write.mode("overwrite").parquet(cc_dir)
+        fp_stamp("components")
         fin(skipped=False, rounds=log.rounds)
 
     # ---- stage: label propagation -------------------------------------
     fin = stage("lpa")
-    lpa_dir = os.path.join(out_dir, "lpa")
-    if resume and _done(lpa_dir):
+    lpa_dir = f"{out_dir}/lpa"
+    if resume and _done(spark, lpa_dir) and fp_fresh("lpa"):
         fin(skipped=True)
     else:
         labels, log = label_propagation(sym, max_iter=lpa_rounds)
         labels.write.mode("overwrite").parquet(lpa_dir)
+        fp_stamp("lpa")
         fin(skipped=False, rounds=log.rounds)
 
     sym.unpersist()
     metrics["n_components"] = spark.read.parquet(cc_dir).select("comp").distinct().count()
-    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    fsio.write_text(spark, f"{out_dir}/metrics.json", json.dumps(metrics, indent=1))
     return metrics
