@@ -83,8 +83,12 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # term) and kernel_parts pinned to SHUFFLE_PARTITIONS so the task set
 # is identical across parallelism levels (v6 tied it to the core count,
 # mixing granularity into the scaling signal).
+# v8 (webe2e/webe2esh) = long-key url mapping joins (r4,
+# functions/extract.py): the measured plan changed — int64 xxhash64
+# fingerprints shuffle through the dictionary mapping joins instead of
+# url strings — so v7 string-join cells are not comparable.
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 7, "webe2esh": 7}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 8, "webe2esh": 8}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 

@@ -35,7 +35,7 @@ def label_propagation(
     check_every: int = 4,
     state_dir: str | None = None,
     resume: bool = False,
-    broadcast_state: bool = False,
+    broadcast_state: bool | str = False,
 ) -> tuple[DataFrame, IterationLog]:
     """LPA over an undirected edge list. Returns (``v, label``, log).
 
@@ -45,6 +45,10 @@ def label_propagation(
     (≲10M vertices — the gate/bench graphs do, see plans/queries.py),
     where the forced broadcast makes each round's edge-side join
     shuffle-free."""
+    if broadcast_state == "auto":
+        from trianglecount_spark.operators.metrics import _resolve_broadcast_state
+
+        broadcast_state = _resolve_broadcast_state("auto", edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     sym = (
         edges.select("src", "dst")

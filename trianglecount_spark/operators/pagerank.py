@@ -48,7 +48,7 @@ def pagerank(
     dangling_free: bool = False,
     teleport: DataFrame | None = None,
     weight: str | None = None,
-    broadcast_state: bool = False,
+    broadcast_state: bool | str = False,
     materialize_every: int | None = None,
     partition_metrics: bool = False,
 ) -> tuple[DataFrame, IterationLog]:
@@ -114,6 +114,14 @@ def pagerank(
     # Right up to ~10M vertices (the bench/gate regime); at 10^12 urls the
     # rank vector cannot broadcast — the default shuffle join partitions
     # ew on src and ships only the vertex-sized vector per round.
+    # "auto" resolves the regime from the edge table's size probe
+    # (metrics._resolve_broadcast_state — the r4 tri-state shared with
+    # the frontier ops); default stays False because the measured
+    # scaling cells (pagerank10/pagerank10bc) pin their regimes.
+    if broadcast_state == "auto":
+        from trianglecount_spark.operators.metrics import _resolve_broadcast_state
+
+        broadcast_state = _resolve_broadcast_state("auto", edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     ew = (
         edges.join(outdeg, "src")
