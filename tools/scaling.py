@@ -346,27 +346,34 @@ def main() -> None:
                 "(persist, mirroring plans/pipeline.py's parquet stage "
                 "boundaries; the unmaterialized form re-executes the url-mapping "
                 "joins 2-4x through lineage and measured ~10x slower at the hi "
-                "level). Covers the Python/Arrow extraction boundary, string-key "
-                "shuffles, and the JVM graph kernels in one measurement — the "
-                "pipeline a crawl-scale deployment actually runs. TWO regimes, "
-                "the pagerank10/pagerank10bc split again: plain `webe2e` keeps "
-                "the engine defaults, so AQE BROADCASTS the toy-scale url "
-                "dictionary into the mapping joins — fastest ABSOLUTE plan, but "
-                "the driver-side broadcast build is a serial term that caps "
-                "measured efficiency (map+canon piece: 4.8s vs 9.3s at local[8], "
-                "2→8 efficiency 0.57 vs 0.71 broadcast vs shuffle). `webe2esh` "
-                "disables broadcast joins — the plan shape of the 10^12-url "
-                "regime, where the dictionary can never broadcast — and is the "
-                "pipeline's scalable-regime row. Piece-wise 2→8 efficiencies "
-                "(fresh-JVM probes): extraction 0.85, dictionary 0.88, "
-                "orientation 0.97, string-key url-mapping joins 0.71 — the "
-                "binding piece is the string sort-merge join, the most memory-"
-                "bandwidth-hungry op in the suite on this single-socket box "
-                "(whose pure-CPU/memory ceiling for the same 2→8 step measures "
-                "0.84-0.86); on N vs 4N *executors* each node adds its own "
-                "bandwidth. The north-rule criterion kernels (tc_*, pagerank10, "
-                "linkpredsh) all clear 0.8 above; the pipeline rows are extra "
-                "end-to-end evidence reported with their regime analysis.",
+                "level). Covers the Python/Arrow extraction boundary, the "
+                "dictionary/mapping shuffles, and the JVM graph kernels in one "
+                "measurement — the pipeline a crawl-scale deployment actually "
+                "runs. Since r4 the url→vid MAPPING JOINS shuffle fixed-width "
+                "int64 xxhash64 fingerprints instead of url strings "
+                "(functions/extract.py: a one-job collision probe takes the "
+                "broadcast-free long-key plan when the 64-bit fingerprints are "
+                "collision-free — every run at this scale — and otherwise "
+                "routes only collision-touched rows through an exact string "
+                "fallback; the r3 piece-wise probes had isolated the string "
+                "sort-merge mapping joins as the binding piece at 0.71 vs "
+                "extraction 0.85, dictionary 0.88, orientation 0.97). TWO "
+                "regimes, the pagerank10/pagerank10bc split again: plain "
+                "`webe2e` keeps the engine defaults, so AQE BROADCASTS the "
+                "toy-scale dictionary into the mapping joins — fast ABSOLUTE "
+                "plan, but the driver-side broadcast build is a serial term "
+                "that caps measured efficiency. `webe2esh` disables broadcast "
+                "joins — the plan shape of the 10^12-url regime, where the "
+                "dictionary can never broadcast — and is the pipeline's "
+                "scalable-regime row; what remains above the graph kernels is "
+                "the url-string DICTIONARY BUILD itself (inherently "
+                "string-keyed — the range shuffle that defines the sorted-rank "
+                "vid contract). Single-socket context: this box's pure-CPU/"
+                "memory ceiling for the same 2→8 step measures 0.84-0.86; on N "
+                "vs 4N *executors* each node adds its own bandwidth. The "
+                "north-rule criterion kernels (tc_*, pagerank10, linkpredsh) "
+                "all clear 0.8 above; the pipeline rows are extra end-to-end "
+                "evidence reported with their regime analysis.",
                 "",
             ]
             break

@@ -87,8 +87,12 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # functions/extract.py): the measured plan changed — int64 xxhash64
 # fingerprints shuffle through the dictionary mapping joins instead of
 # url strings — so v7 string-join cells are not comparable.
+# v9 (webe2e/webe2esh) = collision-probe fast path: the no-collision
+# case (every run at this scale) takes a plan with ZERO broadcast
+# exchanges; the v8 unconditioned split plan carried three forced
+# broadcasts (driver-collect serial terms) feeding an empty fallback.
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 8, "webe2esh": 8}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 9, "webe2esh": 9}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 

@@ -204,7 +204,31 @@ def edges_from_pages(
     )
     if handles is not None:
         handles.append(dup)
-    e = _map_edges_longkey(raw, vertices, dup)
+    # One driver probe of the (tiny, persisted) collision set. The
+    # common no-collision case takes a plan with ZERO broadcast
+    # exchanges: every forced broadcast is a driver collect — a serial
+    # term the all-shuffle scaling regime cannot parallelize (measured:
+    # the unconditioned split plan's three broadcasts cost the hi
+    # parallelism level ~10% while the fallback they fed was empty).
+    # The probe itself materializes raw/vertices, which every caller
+    # does next anyway.
+    if dup.limit(1).count() == 0:
+        safe = vh.select("h", "vid")
+        raw_h = raw.select(
+            F.xxhash64("src_url").alias("hs"),
+            F.xxhash64("dst_url").alias("hd"),
+        )
+        e = (
+            raw_h.join(safe.withColumnRenamed("h", "hs"), "hs")
+            .withColumnRenamed("vid", "src")
+            .join(
+                safe.withColumnRenamed("h", "hd").withColumnRenamed("vid", "dst"),
+                "hd",
+            )
+            .select("src", "dst")
+        )
+    else:
+        e = _map_edges_longkey(raw, vertices, dup)
     return e, vertices
 
 
@@ -220,7 +244,9 @@ def _map_edges_longkey(
     injecting synthetic dup sets (true 64-bit collisions can't be
     crafted from real urls)."""
     vh = vertices.select(F.xxhash64("url").alias("h"), "url", "vid")
-    safe = vh.join(dup, "h", "left_anti").select("h", "vid")
+    # broadcast anti-join: dup is collision-sized, so the dictionary
+    # slice is filtered in place — no V-row shuffle for the exclusion
+    safe = vh.join(F.broadcast(dup), "h", "left_anti").select("h", "vid")
 
     raw_h = raw.select(
         "src_url",
