@@ -64,9 +64,14 @@ SIZES = {
         "linkpred": (8_000_000, 400_000),
         "linkpredsh": (4_000_000, 200_000),
         # webe2e: (n_pages, n_sites) — the full pages->edges->TC
-        # pipeline (scaling_job.py)
-        "webe2e": (1_200_000, 40_000),
-        "webe2esh": (1_200_000, 40_000),
+        # pipeline (scaling_job.py). Resized 1.2M -> 2.4M pages in r4:
+        # the long-key mapping joins made the hi level ~20s, under the
+        # ~30s compute-dominated sizing discipline above (piece-wise
+        # probe: the graph-kernel stages went scheduler-overhead-bound
+        # at that size — canon 0.56 / tc 0.61 vs tc_arrays' 0.84 at its
+        # properly-sized standalone cell).
+        "webe2e": (2_400_000, 80_000),
+        "webe2esh": (2_400_000, 80_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),

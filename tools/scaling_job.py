@@ -91,8 +91,12 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # case (every run at this scale) takes a plan with ZERO broadcast
 # exchanges; the v8 unconditioned split plan carried three forced
 # broadcasts (driver-collect serial terms) feeding an empty fallback.
+# v10 (webe2e/webe2esh) = all-JVM dictionary numbering
+# (monotonically_increasing_id over range-partitioned sorted keys) —
+# the v9 dictionary shipped every url through a mapInPandas Arrow
+# round-trip; its piece scaled worst (0.57) in the piecewise probe.
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 9, "webe2esh": 9}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 10, "webe2esh": 10}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 

@@ -108,30 +108,32 @@ def vertex_dictionary_scalable(keys: DataFrame, key_col: str = "url") -> DataFra
     numbered, never its final id, so the result is deterministic under
     retries and independent of the sampled range split.
 
+    ALL-JVM numbering (r4): the per-partition numbering is
+    ``monotonically_increasing_id()`` over range-partitioned,
+    partition-sorted keys — its value is exactly
+    ``(partition_id << 33) + local_row_index``, so splitting the bits
+    yields (part_id, local_rn) with no Python worker in the path (the
+    r3 form shipped every key through a mapInPandas Arrow round-trip —
+    at 10^12 urls that is the single largest Python-boundary crossing
+    in the engine, and "UDFs are the slow path"). Determinism: keys are
+    distinct and each partition is sorted before ids are assigned, so a
+    retried partition re-sorts identically and gets identical ids —
+    the same guarantee the pandas form had.
+
     ``numbered`` is consumed twice (size collect + final join) — it is
-    persisted so the range shuffle and numbering kernel run once.
+    persisted so the range shuffle and numbering run once.
     """
     distinct = keys.select(key_col).distinct().repartitionByRange(F.col(key_col))
-
-    def number_partition(pdf_iter):
-        # mapInPandas over range-partitioned, locally sorted keys.
-        import pandas as pd  # noqa: PLC0415
-
-        from pyspark import TaskContext  # noqa: PLC0415
-
-        pid = TaskContext.get().partitionId()
-        rows = []
-        for pdf in pdf_iter:
-            rows.append(pdf)
-        if rows:
-            allpdf = pd.concat(rows).sort_values(key_col).reset_index(drop=True)
-            allpdf["part_id"] = pid
-            allpdf["local_rn"] = range(len(allpdf))
-            yield allpdf
-
-    numbered = distinct.mapInPandas(
-        number_partition, schema=f"{key_col} string, part_id int, local_rn long"
-    ).persist()
+    numbered = (
+        distinct.sortWithinPartitions(key_col)
+        .withColumn("mid", F.monotonically_increasing_id())
+        .select(
+            key_col,
+            F.shiftright("mid", 33).cast("int").alias("part_id"),
+            (F.col("mid") % F.lit(1 << 33)).cast("long").alias("local_rn"),
+        )
+        .persist()
+    )
     sizes = numbered.groupBy("part_id").agg(F.count("*").alias("n")).collect()
     offsets = {}
     acc = 0
