@@ -70,8 +70,13 @@ SIZES = {
         # probe: the graph-kernel stages went scheduler-overhead-bound
         # at that size — canon 0.56 / tc 0.61 vs tc_arrays' 0.84 at its
         # properly-sized standalone cell).
-        "webe2e": (2_400_000, 80_000),
-        "webe2esh": (2_400_000, 80_000),
+        # ...then 2.4M -> 4.8M: at 2.4M the piecewise stage probe put
+        # the composite at 0.80 while the e2e row read 0.775 — the gap
+        # is per-job fixed overhead (session jobs, probe barriers)
+        # that the sizing discipline exists to amortize; 4.8M keeps
+        # lo ~3.5-4 min, inside the <5 min bound.
+        "webe2e": (4_800_000, 160_000),
+        "webe2esh": (4_800_000, 160_000),
     },
     (8, 32): {
         "tc_arrays": (16_000_000, 200_000),

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-N_PAGES, N_SITES = 1_200_000, 40_000
+N_PAGES, N_SITES = 2_400_000, 80_000
 SHUFFLE_PARTITIONS = 64
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
