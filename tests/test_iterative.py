@@ -228,6 +228,32 @@ def test_pagerank_resume(spark, tmp_path):
     assert log2.rounds[0]["round"] > 7  # actually resumed past round 8
 
 
+def test_pagerank_resume_skips_partial_round_dir(spark, tmp_path):
+    """r4 advisor: mode("overwrite") deletes the target before writing,
+    so a crash mid-checkpoint leaves a partial round=N dir without its
+    _SUCCESS marker — resume must fall back to the highest COMPLETE
+    round, not silently read half-written state parquet."""
+    import os
+
+    raw, _ = GOLDEN["bowtie"]
+    sym = canonicalize_edges(edges_df(spark, raw))
+    state_dir = str(tmp_path / "pr_state")
+    r1, _ = pagerank(sym, tol=0.0, max_iter=8, check_every=4, state_dir=state_dir)
+    # plant the crash artifact: a higher round dir with no _SUCCESS
+    os.makedirs(f"{state_dir}/round=99")
+    r2, log2 = pagerank(
+        sym, tol=1e-10, max_iter=32, check_every=4, state_dir=state_dir, resume=True
+    )
+    # resumed from the complete round 7, not the partial round 99
+    # (which would have set start_round=100 >= max_iter and returned
+    # the unreadable planted state outright)
+    assert log2.rounds and 7 < log2.rounds[0]["round"] < 32
+    fresh, _ = pagerank(sym, tol=1e-10, max_iter=32, check_every=4)
+    a = {r.v: r.rank for r in r2.collect()}
+    b = {r.v: r.rank for r in fresh.collect()}
+    assert all(abs(a[v] - b[v]) < 1e-8 for v in a)
+
+
 def test_pagerank_partition_metrics(spark):
     # north_rule: per-partition lineage + metrics — check rounds must
     # record the per-partition row histogram and a skew ratio.

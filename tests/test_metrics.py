@@ -717,3 +717,55 @@ def test_frontier_auto_resolves_by_size(spark, monkeypatch):
     assert {(r.v, r.dist) for r in d_auto.collect()} == {
         (r.v, r.dist) for r in d_bc.collect()
     }
+
+
+def test_broadcast_tristate_typo_raises(spark):
+    """r4 advisor: anything but True/False/'auto' must raise — a typo
+    like 'Auto' or 'none' is a truthy string and would otherwise
+    silently force the memory-unsafe broadcast regime."""
+    import pytest
+
+    import trianglecount_spark.operators.metrics as M
+    from trianglecount_spark.operators.lpa import label_propagation
+    from trianglecount_spark.operators.pagerank import pagerank
+
+    sym = _sym(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    with pytest.raises(ValueError, match="auto"):
+        M._resolve_broadcast_state("Auto", sym)  # noqa: SLF001
+    with pytest.raises(ValueError, match="auto"):
+        M.link_prediction_jaccard(
+            sym, min_common=1, max_center_degree=8, broadcast_adjacency="none"
+        )
+    with pytest.raises(ValueError, match="auto"):
+        pagerank(sym, max_iter=2, broadcast_state="yes")
+    with pytest.raises(ValueError, match="auto"):
+        label_propagation(sym, max_iter=2, broadcast_state="Auto")
+    with pytest.raises(ValueError, match="auto"):
+        M.bfs_distances(sym, 0, max_rounds=2, broadcast_state="broadcast")
+
+
+def test_estimated_bytes_file_scan_deser_factor(spark, tmp_path):
+    """r4 advisor: Catalyst's sizeInBytes for a parquet scan is the
+    COMPRESSED on-disk footprint — the regime probe must inflate it by
+    the deserialization factor before any broadcast-ceiling comparison,
+    while accurate non-scan stats (Range/InMemory/Local leaves) pass
+    through unadjusted."""
+    from trianglecount_spark.operators.triangles import (
+        _FILE_SCAN_DESER_FACTOR,
+        _estimated_bytes,
+    )
+
+    p = str(tmp_path / "edges.parquet")
+    spark.range(20000).selectExpr("id as src", "id + 1 as dst").write.parquet(p)
+    scan = spark.read.parquet(p)
+    raw = int(
+        scan._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+    )
+    assert raw > 0
+    assert _estimated_bytes(scan) == raw * _FILE_SCAN_DESER_FACTOR
+
+    rng = spark.range(1000)  # Range leaf: exact in-memory estimate
+    raw_rng = int(
+        rng._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+    )
+    assert _estimated_bytes(rng) == raw_rng

@@ -111,10 +111,19 @@ def iterate(
         # rounds on the same filesystem the parquet state lives on
         from trianglecount_spark.sources import fsio
 
+        # only COMPLETE rounds are resumable: mode("overwrite") deletes
+        # the target before writing, so a crash mid-checkpoint leaves a
+        # partial round=N dir without its _SUCCESS marker — resume must
+        # fall back to the next-lower complete round, not silently read
+        # half-written state parquet (r4 advisor)
         done = sorted(
-            int(d.split("=")[1])
-            for d in fsio.list_names(spark, state_dir)
-            if d.startswith("round=")
+            n
+            for n in (
+                int(d.split("=")[1])
+                for d in fsio.list_names(spark, state_dir)
+                if d.startswith("round=")
+            )
+            if fsio.exists(spark, f"{state_dir}/round={n}/_SUCCESS")
         )
         if done:
             start_round = done[-1] + 1

@@ -62,8 +62,19 @@ def _resolve_broadcast_state(flag: bool | str, proxy: DataFrame) -> bool:
     so a small estimate is reliable. An unknown or over-ceiling
     estimate is settled by one ``count()`` against the row ceiling —
     a map-side partial agg over the proxy, noise next to either regime
-    it guards (and on the parquet-scan lineage of the 100 TB regime
-    the estimate is accurate, so the count is rarely reached)."""
+    it guards. File-scan estimates carry a deserialization factor
+    (``triangles._FILE_SCAN_DESER_FACTOR``): parquet's sizeInBytes is
+    the compressed footprint, 3-10x under the broadcast size (r4
+    advisor) — so near-ceiling scans settle by count, not estimate.
+
+    The tri-state is VALIDATED: anything but True/False/"auto" raises —
+    a typo like ``'Auto'`` or ``'none'`` must not silently force the
+    memory-unsafe broadcast regime via string truthiness."""
+    if flag not in (True, False, "auto"):
+        raise ValueError(
+            "broadcast regime flag must be True, False or 'auto', "
+            f"got {flag!r}"
+        )
     if flag != "auto":
         return bool(flag)
     est = _estimated_bytes(proxy)
@@ -253,6 +264,11 @@ def _pair_counts(
     range in the kernel's bincount, emitted as int64; both regimes and
     the SQL oracle agree bit-for-bit."""
     centered = _wedge_centers(sym_edges, deg, max_center_degree)
+    if broadcast_adjacency not in (True, False, "auto"):
+        raise ValueError(
+            "broadcast_adjacency must be True, False or 'auto', "
+            f"got {broadcast_adjacency!r}"
+        )
     if broadcast_adjacency == "auto":
         # both regime bounds: the hub cap for per-task pair memory
         # (bound 2, a plan property), then the capped adjacency's size

@@ -118,10 +118,9 @@ def pagerank(
     # (metrics._resolve_broadcast_state — the r4 tri-state shared with
     # the frontier ops); default stays False because the measured
     # scaling cells (pagerank10/pagerank10bc) pin their regimes.
-    if broadcast_state == "auto":
-        from trianglecount_spark.operators.metrics import _resolve_broadcast_state
+    from trianglecount_spark.operators.metrics import _resolve_broadcast_state
 
-        broadcast_state = _resolve_broadcast_state("auto", edges)
+    broadcast_state = _resolve_broadcast_state(broadcast_state, edges)
     pin = F.broadcast if broadcast_state else (lambda df: df)
     ew = (
         edges.join(outdeg, "src")

@@ -55,13 +55,38 @@ _BROADCAST_EDGE_LIMIT = 32_000_000
 _BROADCAST_BYTE_LIMIT = 512 * 1024 * 1024
 
 
+# For FILE-SCAN relations Catalyst's sizeInBytes is the COMPRESSED
+# on-disk footprint (spark.sql.sources.fileCompressionFactor defaults to
+# 1.0), which understates the deserialized/broadcast size by 3-10x for
+# parquet — the one direction in which the "Catalyst only overestimates"
+# regime-probe argument fails (r4 advisor). Estimates whose plan leaves
+# include a file scan are therefore inflated by this factor before any
+# broadcast ceiling comparison; InMemoryRelation / LocalRelation / Range
+# leaves report accurate in-memory sizes and pass through unadjusted.
+_FILE_SCAN_DESER_FACTOR = 4
+# Optimized-plan leaf class names that denote file/table scans (probed
+# on this Spark build: parquet reads = LogicalRelation; cached =
+# InMemoryRelation; V2 sources / Hive names included defensively).
+_SCAN_LEAF_PREFIXES = ("LogicalRelation", "DataSourceV2", "HiveTableRelation")
+
+
 def _estimated_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate — a JVM call, no job.
-    None when stats are unavailable (then callers fall back to count())."""
+    None when stats are unavailable (then callers fall back to count()).
+    File-scan-backed plans are inflated by ``_FILE_SCAN_DESER_FACTOR``
+    (compressed-footprint stats, see above)."""
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size = int(plan.stats().sizeInBytes())
         # Catalyst's "unknown" sentinel is Long.MaxValue-ish
-        return size if 0 <= size < (1 << 62) else None
+        if not (0 <= size < (1 << 62)):
+            return None
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            name = leaves.apply(i).getClass().getSimpleName()
+            if name.startswith(_SCAN_LEAF_PREFIXES):
+                return size * _FILE_SCAN_DESER_FACTOR
+        return size
     except Exception:
         return None
 

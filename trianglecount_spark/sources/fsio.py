@@ -70,6 +70,17 @@ def read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Recursive delete; False when the path does not exist. Used to
+    clear stale iteration-state directories before re-stamping their
+    fingerprint (plans/pipeline.py) — leftover ``round=N`` dirs under a
+    fresh stamp would be silently resumed as the new graph's state."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
 def list_names(spark: SparkSession, path: str) -> list[str]:
     """Child entry names of a directory ([] when it does not exist)."""
     fs, p = _fs_path(spark, path)
