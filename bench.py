@@ -13,8 +13,21 @@ local[$SPARK_GRAFT_CPUS]:
   emb_neardup  — LSH-candidate cosine near-dup (bucket join + exact verify)
   linkpred     — capped common-neighbor link prediction (broadcast-CSR
                  pair-count kernel, operators/metrics._pair_counts)
+  linkpredsh   — same scores via the all-shuffle pair aggregation — the
+                 regime that carries the N→4N scaling criterion (the
+                 kernel's driver CSR collect is a serial Amdahl term)
   web_e2e      — flagship: pages(html) → mined edges → url dictionary →
                  canonicalize → orient → triangle count
+  web_e2esh    — the same pipeline with broadcast joins disabled: the
+                 plan shape of the 10^12-url regime, where the url
+                 dictionary can never broadcast (scaling-criterion twin)
+
+REPS DISCIPLINE: passes are interleaved round-robin — every query runs
+once per pass, then the next pass starts — so a noisy-neighbor window
+on this shared VM costs each query at most ONE rep instead of poisoning
+all reps of whichever query it overlaps (BENCH_r04 archived 5x phantom
+regressions that way). Per-query time is the best across passes; every
+rep is recorded under derived.reps.
 
 Derived throughputs (triangles/sec, PR iterations/min) are included under
 "derived" — the BASELINE.json metric. Scaling-efficiency evidence across
@@ -44,6 +57,13 @@ from trianglecount_spark.operators.triangles import (  # noqa: E402
 from trianglecount_spark.plans.queries import copurchase_oriented, copurchase_sym  # noqa: E402
 from trianglecount_spark.session import get_spark  # noqa: E402
 
+# r3/r4-comparable core set: queries whose sum matched BENCH_r03/r04's
+# "value" before the two scaling-criterion rows were added in r5
+_CORE10 = (
+    "tc_join", "tc_kernel", "tc_arrays", "pagerank10", "components",
+    "minhash_lsh", "emb_knn", "emb_neardup", "linkpred", "web_e2e",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,23 +72,13 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark(app_name="tc-bench", cores=cpus, shuffle_partitions=cpus)
-    timings: dict[str, float] = {}
-    derived: dict[str, float] = {}
+    jobs: list[tuple[str, object]] = []
     all_reps: dict[str, list[float]] = {}
     results: dict[str, object] = {}
+    derived: dict[str, object] = {}
 
     def bench(name: str, fn) -> None:
-        """Best-of-`reps` timing (this VM shows ±2x noisy-neighbor
-        variance between identical runs; the reference harness likewise
-        times repeated in-process kernel iterations). All reps are
-        reported under derived.reps."""
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            results[name] = fn()
-            ts.append(round(time.time() - t0, 3))
-        all_reps[name] = ts
-        timings[name] = min(ts)
+        jobs.append((name, fn))
 
     # shared inputs, materialized once so each query times its own work
     sym = copurchase_sym(spark, sf_dir).cache()
@@ -84,9 +94,6 @@ def main() -> None:
     ).count()
 
     bench("tc_join", lambda: triangles_join(oriented).count())
-    n_tri = results["tc_join"]
-    derived["tc_join_triangles_per_sec"] = round(n_tri / timings["tc_join"], 1)
-    derived["tc_join_edges_per_sec"] = round(n_und_edges / timings["tc_join"], 1)
 
     bench(
         "tc_kernel",
@@ -96,12 +103,8 @@ def main() -> None:
             .collect()[0]["t"]
         ),
     )
-    assert results["tc_kernel"] == n_tri, (results["tc_kernel"], n_tri)
-    derived["tc_kernel_triangles_per_sec"] = round(n_tri / timings["tc_kernel"], 1)
 
     bench("tc_arrays", lambda: triangle_count_arrays(oriented))
-    assert results["tc_arrays"] == n_tri, (results["tc_arrays"], n_tri)
-    derived["tc_arrays_triangles_per_sec"] = round(n_tri / timings["tc_arrays"], 1)
 
     n_iter = 10
 
@@ -122,14 +125,12 @@ def main() -> None:
         return ranks.count()
 
     bench("pagerank10", run_pagerank)
-    derived["pagerank_iters_per_min"] = round(n_iter / (timings["pagerank10"] / 60.0), 2)
 
     def run_components():
         comp, _ = connected_components(sym)
         return comp.select("comp").distinct().count()
 
     bench("components", run_components)
-    derived["n_components"] = results["components"]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -138,7 +139,6 @@ def main() -> None:
         return lsh_candidates(sig, n_hashes=8, rows_per_band=2).count()
 
     bench("minhash_lsh", run_minhash)
-    derived["minhash_candidates"] = results["minhash_lsh"]
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.where(F.col("vec_id") < 100)
@@ -150,7 +150,6 @@ def main() -> None:
         "emb_neardup",
         lambda: cosine_neardup_lsh(emb, threshold=0.3).count(),
     )
-    derived["neardup_pairs"] = results["emb_neardup"]
 
     from trianglecount_spark.operators.metrics import link_prediction_jaccard
 
@@ -172,7 +171,19 @@ def main() -> None:
             sym, min_common=8, max_center_degree=150
         ).count(),
     )
-    derived["linkpred_pairs"] = results["linkpred"]
+
+    # the all-shuffle twin (r3 ask #6): identical scores, zero
+    # driver-side collects — the plan whose N→4N scaling the
+    # two-cluster criterion constrains (BENCH/BASELINE.md row
+    # "linkpredsh"); archived here so the driver's BENCH series shows
+    # the criterion regime, not only the absolute-fastest kernel
+    bench(
+        "linkpredsh",
+        lambda: link_prediction_jaccard(
+            sym, min_common=8, max_center_degree=150,
+            broadcast_adjacency=False,
+        ).count(),
+    )
 
     from trianglecount_spark.functions.extract import edges_from_pages
     from trianglecount_spark.operators.canonicalize import canonicalize_edges, orient
@@ -187,8 +198,6 @@ def main() -> None:
         # twice — without the persists the mapping joins and the
         # canonicalize distinct re-execute 2-4x through unpersisted
         # lineage, timing recomputation instead of the pipeline.
-        from trianglecount_spark.operators.triangles import triangle_count_arrays
-
         handles = []
         we, _ = edges_from_pages(
             web_pages_from_documents(spark, sf_dir), handles=handles
@@ -203,12 +212,58 @@ def main() -> None:
         return n
 
     bench("web_e2e", run_web)
-    derived["web_triangles"] = results["web_e2e"]
 
-    total = round(sum(timings.values()), 3)
+    def run_web_shuffle():
+        # the 10^12-url plan shape (scaling_job.py "webe2esh"): with
+        # broadcast joins disabled the url-dictionary mapping joins and
+        # the TC adjacency joins run as shuffles at ANY dictionary size.
+        # Same stages, same result; conf restored after the run.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            return run_web()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    bench("web_e2esh", run_web_shuffle)
+
+    # ---- interleaved round-robin passes (see module docstring) ------
+    for _ in range(reps):
+        for name, fn in jobs:
+            t0 = time.time()
+            results[name] = fn()
+            all_reps.setdefault(name, []).append(round(time.time() - t0, 3))
+    timings = {name: min(all_reps[name]) for name, _ in jobs}
+
+    # ---- cross-form result checks + derived throughputs -------------
+    n_tri = results["tc_join"]
+    assert results["tc_kernel"] == n_tri, (results["tc_kernel"], n_tri)
+    assert results["tc_arrays"] == n_tri, (results["tc_arrays"], n_tri)
+    assert results["linkpredsh"] == results["linkpred"], (
+        results["linkpredsh"], results["linkpred"],
+    )
+    assert results["web_e2esh"] == results["web_e2e"], (
+        results["web_e2esh"], results["web_e2e"],
+    )
+    derived["tc_join_triangles_per_sec"] = round(n_tri / timings["tc_join"], 1)
+    derived["tc_join_edges_per_sec"] = round(n_und_edges / timings["tc_join"], 1)
+    derived["tc_kernel_triangles_per_sec"] = round(n_tri / timings["tc_kernel"], 1)
+    derived["tc_arrays_triangles_per_sec"] = round(n_tri / timings["tc_arrays"], 1)
+    derived["pagerank_iters_per_min"] = round(n_iter / (timings["pagerank10"] / 60.0), 2)
+    derived["n_components"] = results["components"]
+    derived["minhash_candidates"] = results["minhash_lsh"]
+    derived["neardup_pairs"] = results["emb_neardup"]
+    derived["linkpred_pairs"] = results["linkpred"]
+    derived["web_triangles"] = results["web_e2e"]
     derived["n_triangles"] = n_tri
     derived["n_und_edges"] = n_und_edges
+    # r3/r4 comparability: "value" now sums 12 queries (the two
+    # criterion-regime rows were added in r5); this is the old 10-query
+    # total for round-over-round comparison
+    derived["total_core10"] = round(sum(timings[q] for q in _CORE10), 3)
     derived["reps"] = all_reps  # best-of-N per query; every rep recorded
+
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
