@@ -55,3 +55,26 @@ def test_vertex_dictionary_deterministic(spark):
     d1 = {r.url: r.vid for r in vertex_dictionary(df).collect()}
     d2 = {r.url: r.vid for r in vertex_dictionary(df).collect()}
     assert d1 == d2 == {"https://a.example/": 0, "https://b.example/": 1}
+
+
+def test_canonicalize_packed_matches_unpacked(spark):
+    """canonicalize_edges_packed must equal canonicalize_edges on any
+    dictionary-mapped id range (0 <= vid < 2^31), including self-loops,
+    duplicates, and anti-parallel pairs."""
+    import random
+
+    from trianglecount_spark.operators.canonicalize import (
+        canonicalize_edges,
+        canonicalize_edges_packed,
+    )
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    pairs += [(5, 5), (0, 1), (1, 0), (0, 1)]  # self-loop + antiparallel dup
+    # boundary ids: top of the int31 range must pack/unpack losslessly
+    big = (1 << 31) - 1
+    pairs += [(big, 0), (big - 1, big), (0, big)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    a = {(r.src, r.dst) for r in canonicalize_edges(df).collect()}
+    b = {(r.src, r.dst) for r in canonicalize_edges_packed(df).collect()}
+    assert a == b and len(a) > 0

@@ -209,6 +209,22 @@ def main() -> None:
             ).count()
         elif job.startswith("webe2e"):
             from trianglecount_spark.functions.extract import edges_from_pages
+            from trianglecount_spark.operators.canonicalize import (
+                canonicalize_edges_packed,
+            )
+
+            # SPARK_GRAFT_PACKED_CANON=1: run the symmetrize+dedupe
+            # distinct on a single packed int64 (src<<32|dst) key —
+            # legal here because dictionary vids are dense from 0. The
+            # shuffle-bytes experiment for the webe2esh SMJ-bandwidth
+            # residual (r4 verdict ask #4); measured via direct
+            # scaling_job runs so the cached cells are not min-merged
+            # with a different plan.
+            canon = (
+                canonicalize_edges_packed
+                if os.environ.get("SPARK_GRAFT_PACKED_CANON") == "1"
+                else canonicalize_edges
+            )
 
             handles: list = []
             we, _verts = edges_from_pages(pages, handles=handles)
@@ -219,7 +235,7 @@ def main() -> None:
             # stream) — without the persists the mapping joins and the
             # canonicalize distinct re-execute 2-4x per downstream
             # reference, timing recomputation instead of the pipeline
-            sym_w = canonicalize_edges(we).persist()
+            sym_w = canon(we).persist()
             sym_w.count()
             ori_w = orient(sym_w).persist()
             ori_w.count()

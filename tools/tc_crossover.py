@@ -39,6 +39,10 @@ SIZES = [
     (4_000_000, 50_000),
     (16_000_000, 200_000),
     (32_000_000, 400_000),
+    # r4 verdict stretch: one >= 64M-edge point pins where the
+    # per-task adjacency stops being cache-resident — the rule above
+    # 32M was extrapolation until this cell
+    (64_000_000, 800_000),
 ]
 
 

@@ -41,6 +41,36 @@ def canonicalize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     )
 
 
+def canonicalize_edges_packed(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``canonicalize_edges`` with the symmetrize+dedupe shuffle run on
+    a SINGLE packed int64 key ``(src << 32) | dst`` instead of the
+    (src, dst) pair — same output, ~33% fewer shuffle bytes (one-long
+    UnsafeRow 16 B vs 24 B) and single-word sort/hash compares through
+    the distinct, the dominant cost of the stage in the all-shuffle
+    regime (the webe2esh scaling row's piecewise probe blames SMJ/agg
+    memory bandwidth).
+
+    REQUIRES ``0 <= id < 2^31`` for both endpoints — the contract of
+    dictionary-mapped vids (``vertex_dictionary_scalable`` ranks are
+    dense from 0; the kernel applies the same int32 downcast,
+    triangles.py). Callers with arbitrary ids use the unpacked form.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    packed = e.select(
+        (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("pk")
+    ).unionByName(
+        e.select((F.shiftleft(F.col("dst"), 32) + F.col("src")).alias("pk"))
+    )
+    return packed.distinct().select(
+        F.shiftright("pk", 32).alias("src"),
+        (F.col("pk") % F.lit(1 << 32)).alias("dst"),
+    )
+
+
 def degrees(sym_edges: DataFrame) -> DataFrame:
     """C4: per-vertex undirected degree from the *symmetric* edge table.
 
