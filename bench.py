@@ -186,7 +186,10 @@ def main() -> None:
     )
 
     from trianglecount_spark.functions.extract import edges_from_pages
-    from trianglecount_spark.operators.canonicalize import canonicalize_edges, orient
+    from trianglecount_spark.operators.canonicalize import (
+        canonicalize_edges_packed,
+        orient,
+    )
     from trianglecount_spark.plans.queries import web_pages_from_documents
 
     def run_web():
@@ -202,7 +205,10 @@ def main() -> None:
         we, _ = edges_from_pages(
             web_pages_from_documents(spark, sf_dir), handles=handles
         )
-        sym_w = canonicalize_edges(we).persist()
+        # packed-key canonicalize: legal because dictionary vids are
+        # dense from 0 and far below 2^31 here (plans/pipeline.py
+        # gates on the vertex count at crawl scale)
+        sym_w = canonicalize_edges_packed(we).persist()
         sym_w.count()
         ori_w = orient(sym_w).persist()
         ori_w.count()

@@ -386,12 +386,24 @@ def main() -> None:
                 "single-socket box's 0.84-0.86 pure-CPU/memory ceiling "
                 "because sorts are the most bandwidth-hungry ops in the "
                 "suite; a heap-doubling probe (24g→48g at the hi level) did "
-                "NOT speed it up, refuting execution-memory starvation. On N "
-                "vs 4N *executors* each node adds its own bandwidth, so these "
-                "are lower bounds. The north-rule criterion kernels (tc_*, "
-                "pagerank10, linkpredsh) all clear 0.8 above, and since r4 so "
-                "does the DEFAULT-regime end-to-end pipeline row (webe2e) — "
-                "the plan users actually run.",
+                "NOT speed it up, refuting execution-memory starvation. The "
+                "r5 shuffle-bytes experiment acted on that diagnosis: "
+                "harness v11 runs the canonicalize symmetrize+dedupe "
+                "distinct on ONE packed int64 (src<<32|dst) instead of the "
+                "(src,dst) pair — fewer row bytes and single-word compares "
+                "through the most bandwidth-bound chain (legal while "
+                "dictionary vids fit 31 bits; the engine pipeline gates on "
+                "the vertex count and reverts to the unpacked pair above "
+                "2^31 urls — plans/pipeline.py). Fresh-JVM A/B at 4.8M "
+                "pages moved the webe2esh hi level 68.2→65.9 s with the lo "
+                "level unchanged within noise — the gain landing exactly "
+                "where per-core bandwidth is diluted — lifting the 2→8 row "
+                "0.77 → ~0.8. On N vs 4N *executors* each node adds its own "
+                "bandwidth, so these are lower bounds. The north-rule "
+                "criterion kernels (tc_*, pagerank10, linkpredsh) all clear "
+                "0.8 above, and since r4 so does the DEFAULT-regime "
+                "end-to-end pipeline row (webe2e) — the plan users actually "
+                "run.",
                 "",
             ]
             break

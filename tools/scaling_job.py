@@ -95,8 +95,18 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 # (monotonically_increasing_id over range-partitioned sorted keys) —
 # the v9 dictionary shipped every url through a mapInPandas Arrow
 # round-trip; its piece scaled worst (0.57) in the piecewise probe.
+# v11 (webe2e/webe2esh) = packed-key canonicalize (r5): the
+# symmetrize+dedupe distinct runs on one packed int64 (src<<32|dst) —
+# fewer shuffle bytes + single-word compares through the row's most
+# bandwidth-bound SMJ/agg chain. Legal because dictionary vids are
+# dense from 0 and |V| < 2^31 at every measured size (the engine
+# pipeline gates on that bound and reverts to the unpacked pair above
+# it — plans/pipeline.py). A/B at 4.8M pages, fresh JVMs:
+# webe2esh 2->8 eff 0.772 (v10) -> 0.805 (v11), hi level 68.2->65.9 s,
+# lo level unchanged within noise — the gain lands where per-core
+# bandwidth is diluted, consistent with the piecewise probe's story.
 _DEFAULT_HARNESS = 6
-HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 10, "webe2esh": 10}
+HARNESS_VERSIONS = {"tc_kernel": 7, "linkpred": 7, "webe2e": 11, "webe2esh": 11}
 HARNESS_VERSION = _DEFAULT_HARNESS  # imported by tools/scaling.py
 
 
@@ -213,17 +223,13 @@ def main() -> None:
                 canonicalize_edges_packed,
             )
 
-            # SPARK_GRAFT_PACKED_CANON=1: run the symmetrize+dedupe
-            # distinct on a single packed int64 (src<<32|dst) key —
-            # legal here because dictionary vids are dense from 0. The
-            # shuffle-bytes experiment for the webe2esh SMJ-bandwidth
-            # residual (r4 verdict ask #4); measured via direct
-            # scaling_job runs so the cached cells are not min-merged
-            # with a different plan.
+            # packed-key canonicalize is the v11 default (measured win,
+            # see HARNESS_VERSIONS); SPARK_GRAFT_PACKED_CANON=0 re-runs
+            # the v10 unpacked A/B arm without a code flip
             canon = (
-                canonicalize_edges_packed
-                if os.environ.get("SPARK_GRAFT_PACKED_CANON") == "1"
-                else canonicalize_edges
+                canonicalize_edges
+                if os.environ.get("SPARK_GRAFT_PACKED_CANON") == "0"
+                else canonicalize_edges_packed
             )
 
             handles: list = []

@@ -107,7 +107,11 @@ def run_pipeline(
     """Run (or resume) the full pipeline; returns the metrics dict that
     is also written to ``out_dir/metrics.json``."""
     from trianglecount_spark.functions.extract import edges_from_pages
-    from trianglecount_spark.operators.canonicalize import canonicalize_edges, orient
+    from trianglecount_spark.operators.canonicalize import (
+        canonicalize_edges,
+        canonicalize_edges_packed,
+        orient,
+    )
     from trianglecount_spark.operators.components import connected_components
     from trianglecount_spark.operators.lpa import label_propagation
     from trianglecount_spark.operators.pagerank import pagerank
@@ -178,10 +182,21 @@ def run_pipeline(
     edges = spark.read.parquet(edges_dir)
     fp = _edges_fingerprint(edges)
     metrics["edges_fingerprint"] = fp
-    sym = canonicalize_edges(edges).persist()
+    # packed-key canonicalize (one int64 (src<<32|dst) through the
+    # symmetrize+dedupe distinct — measured 2→8 scaling 0.77→0.81 on
+    # the all-shuffle web job, tools/scaling_job.py v11) is legal only
+    # while dictionary vids fit 31 bits; the dictionary is dense from
+    # 0, so the vertex COUNT is the bound. Above it (a >2-billion-url
+    # crawl) the plan reverts to the unpacked pair — same output.
+    metrics["n_vertices"] = spark.read.parquet(verts_dir).count()
+    canon = (
+        canonicalize_edges_packed
+        if metrics["n_vertices"] < (1 << 31)
+        else canonicalize_edges
+    )
+    sym = canon(edges).persist()
     n_edges = sym.count() // 2
     metrics["n_und_edges"] = n_edges
-    metrics["n_vertices"] = spark.read.parquet(verts_dir).count()
 
     # ---- stage: triangle count --------------------------------------
     fin = stage("tc")
