@@ -78,3 +78,11 @@ def test_canonicalize_packed_matches_unpacked(spark):
     a = {(r.src, r.dst) for r in canonicalize_edges(df).collect()}
     b = {(r.src, r.dst) for r in canonicalize_edges_packed(df).collect()}
     assert a == b and len(a) > 0
+    # int-typed input: Java shift semantics wrap the count mod 32 on an
+    # int column — the packed form must cast to long first or every id
+    # packs to garbage silently
+    small = [(s, d) for s, d in pairs if s < (1 << 31) and d < (1 << 31)]
+    di = spark.createDataFrame(small, "src int, dst int")
+    ai = {(r.src, r.dst) for r in canonicalize_edges(di).collect()}
+    bi = {(r.src, r.dst) for r in canonicalize_edges_packed(di).collect()}
+    assert ai == bi and len(ai) > 0

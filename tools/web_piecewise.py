@@ -19,6 +19,13 @@ Stages:
 
 Usage: web_piecewise.py <cpus> [reps]   (prints one JSON line)
 Driven by: for c in 2 8; do python tools/web_piecewise.py $c 2; done
+
+NOTE (r5): the recorded r4 probe (extract 0.94 / map 0.73 / canon 0.78
+/ orient 0.76 / tc 0.77) measured the UNPACKED canonicalize; harness
+v11 switched the canon stage to the packed-int64 distinct
+(canonicalize_edges_packed) on its diagnosis — re-run this probe with
+the import below swapped if a fresh per-stage decomposition of the
+v11 plan is needed.
 """
 
 from __future__ import annotations

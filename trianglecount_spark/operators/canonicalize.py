@@ -57,9 +57,13 @@ def canonicalize_edges_packed(
     dense from 0; the kernel applies the same int32 downcast,
     triangles.py). Callers with arbitrary ids use the unpacked form.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src") != F.col("dst")
-    )
+    # cast to long BEFORE shifting: on an int-typed column Java's shift
+    # semantics wrap the shift count mod 32, so shiftleft(int, 32) would
+    # silently return the value unshifted and corrupt the packing
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
     packed = e.select(
         (F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("pk")
     ).unionByName(
